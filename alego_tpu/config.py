@@ -1,0 +1,176 @@
+"""Typed, hashable configuration for the TPU-native A-LeGO-LOAM engine.
+
+The reference keeps its configuration as file-scope compile-time constants
+(``/root/reference/include/alego/utility.h:50-81``) plus magic numbers at point
+of use (leaf sizes ``LM.cpp:171-175``, loop params ``LM.cpp:210-213``, keyframe
+distance ``LM.cpp:177``).  Here every knob lives in one frozen dataclass that is
+hashable, so it can be closed over as a jit-static constant; the default values
+reproduce the reference's standalone (``IP``/``LO``/``LM``) variant.
+
+Capacities (``max_*``) have no reference counterpart: the reference uses
+dynamically sized ``pcl::PointCloud`` containers, while every array here has a
+static shape so the whole pipeline stays inside one XLA program.  Values were
+chosen from the reference's telemetry (segmented cloud ≲ 64k = 16x4000;
+feature picks ≤ 2/20/4 per sector x 96 sectors).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+
+
+class LaserType(enum.IntEnum):
+    """Sensor models supported by the reference (utility.h:75-81)."""
+
+    LSLIDAR_C16 = 0
+    RFANS_16M = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    # --- sensor geometry (utility.h:50-58) ---
+    n_scan: int = 16                # vertical beams
+    horizon_scan: int = 4000        # columns: 360 / ang_res_x
+    ang_res_x_deg: float = 0.09     # horizontal resolution (5 Hz spin)
+    ang_res_y_deg: float = 2.0      # nominal vertical resolution
+    scan_period: float = 0.2        # seconds per sweep (5 Hz)
+    ang_bottom_deg: float = 15.0    # lowest beam elevation magnitude
+    ground_scan_id: int = 10        # bottom rings eligible for ground
+    sensor_mount_ang_deg: float = 0.0
+    laser_type: LaserType = LaserType.RFANS_16M
+
+    # --- projection / segmentation (utility.h:60-65, IP.cpp) ---
+    min_range: float = 1.0          # removeClosedPointCloud threshold (IP.cpp:117)
+    seg_theta: float = 1.047        # angle criterion (utility.h:63)
+    seg_valid_point_num: int = 5    # utility.h:64
+    seg_valid_line_num: int = 3     # utility.h:65
+    seg_big_cluster: int = 30       # IP.cpp:379
+    ground_angle_thresh_deg: float = 10.0  # IP.cpp:223
+    ground_subsample: int = 5       # keep every 5th ground column (IP.cpp:273)
+    outlier_subsample: int = 5      # keep every 5th outlier (IP.cpp:265)
+
+    # --- feature extraction (LO.cpp:191-365) ---
+    edge_curv_thresh: float = 0.1   # curvature split sharp/flat (LO.cpp:263,313)
+    n_sectors: int = 6              # sectors per ring (LO.cpp:246)
+    max_sharp_per_sector: int = 2   # LO.cpp:267
+    max_less_sharp_per_sector: int = 20  # LO.cpp:273
+    max_flat_per_sector: int = 4    # LO.cpp:319
+    suppress_neighbors: int = 5     # LO.cpp:282-305
+    suppress_col_gap: int = 10      # LO.cpp:285
+    occl_depth_jump: float = 0.5    # LO.cpp:209,216
+    occl_col_gap: int = 10          # LO.cpp:206
+    parallel_rel_diff: float = 0.02 # LO.cpp:224
+    less_flat_leaf: float = 0.4     # LO.cpp:361
+
+    # --- scan-to-scan odometry (LO.cpp:398-583) ---
+    nearest_feature_dist_sq: float = 25.0  # utility.h:73
+    ring_search_span: float = 2.5   # +-2.5 rings for 2nd/3rd points (LO.cpp:421,445)
+    odom_surf_iters: int = 5        # ceres max_num_iterations (LO.cpp:486)
+    odom_corner_iters: int = 5      # LO.cpp:564
+    min_correspondences: int = 10   # LO.cpp:481,555
+    huber_delta: float = 0.1        # HuberLoss(0.1) (LO.cpp:402, LM.cpp:508)
+
+    # --- scan-to-map (LM.cpp) ---
+    map_frame_decimation: int = 2   # every 2nd frame (LM.cpp:244-245)
+    corner_leaf: float = 0.4        # ds_corner_ (LM.cpp:171)
+    surf_leaf: float = 0.8          # ds_surf_ (LM.cpp:172)
+    outlier_leaf: float = 1.0       # ds_outlier_ (LM.cpp:173)
+    keypose_leaf: float = 1.0       # ds_keyposes_ (LM.cpp:174)
+    history_leaf: float = 0.4       # ds_history_keyframes_ (LM.cpp:175)
+    recent_keyframe_search_num: int = 50   # LM.cpp:182
+    surround_keyframe_search_radius: float = 50.0  # LM.cpp:183
+    map_outer_iters: int = 2        # LM.cpp:505
+    map_gn_iters: int = 20          # LM.cpp:615
+    map_knn: int = 5                # 5-NN association (LM.cpp:520,568)
+    map_nn_max_dist_sq: float = 1.0  # point_dist_[4] < 1.0 (LM.cpp:521,571)
+    line_eig_ratio: float = 3.0     # lambda2 > 3*lambda1 (LM.cpp:548)
+    plane_fit_tol: float = 0.2      # LM.cpp:591
+    min_corner_for_map: int = 10    # LM.cpp:495
+    min_surf_for_map: int = 100     # LM.cpp:495
+    min_keyframe_dist_sq: float = 1.0  # squared-vs-metre quirk (LM.cpp:646-649)
+
+    # --- loop closure (LM.cpp:206-213, 800-975) ---
+    loop_closure_enabled: bool = True
+    history_search_radius: float = 10.0   # LM.cpp:210
+    history_search_num: int = 25          # LM.cpp:211
+    history_fitness_score: float = 0.3    # LM.cpp:212
+    loop_time_gap: float = 30.0           # LM.cpp:934
+    loop_every_n_keyframes: int = 5       # ~1 Hz thread cadence equivalent
+    icp_max_corr_dist: float = 100.0      # LM.cpp:819
+    icp_iters: int = 100                  # LM.cpp:820
+    icp_translation_eps: float = 1e-6     # LM.cpp:821
+
+    # --- pose graph (LM.cpp:197-204) ---
+    prior_sigma: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6)
+    odom_sigma: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6)
+    pose_graph_gn_iters: int = 10
+
+    # --- IMU (utility.h:68-70, LO.cpp:840-881) ---
+    use_imu: bool = False           # de-skew call is disabled in ref (LO.cpp:184)
+    imu_queue_length: int = 200
+
+    # --- static capacities (new: required for fixed XLA shapes) ---
+    max_raw_points: int = 65536     # raw scan capacity (<=16x4000)
+    ring_width: int = 2048          # compacted points per ring
+    max_sharp: int = 256            # 2 x 6 x 16 = 192 rounded up
+    max_less_sharp: int = 2048      # 20 x 6 x 16 = 1920 rounded up
+    max_flat: int = 512             # 4 x 6 x 16 = 384 rounded up
+    max_less_flat: int = 8192       # less-flat after 0.4 voxel filter
+    max_outlier: int = 4096         # subsampled outliers
+    max_keyframes: int = 512        # pose-graph length
+    kf_corner_cap: int = 1024       # per-keyframe stored corner points
+    kf_surf_cap: int = 2048         # per-keyframe stored surf points
+    kf_outlier_cap: int = 1024      # per-keyframe stored outlier points
+    map_corner_cap: int = 8192      # merged+downsampled local corner map
+    map_surf_cap: int = 16384       # merged+downsampled local surf map
+    loop_hist_cap: int = 16384      # loop-closure history cloud
+    loop_latest_cap: int = 4096     # loop-closure latest keyframe cloud
+    max_loop_factors: int = 64      # stored loop-closure constraints
+    knn_chunk: int = 4096           # map points per streamed KNN chunk
+
+    compute_dtype: str = "float32"
+
+    # ---- derived helpers (not fields) ----
+    @property
+    def ang_res_x(self) -> float:
+        return math.radians(self.ang_res_x_deg)
+
+    @property
+    def ang_res_y(self) -> float:
+        return math.radians(self.ang_res_y_deg)
+
+    @property
+    def ang_bottom(self) -> float:
+        return math.radians(self.ang_bottom_deg)
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Small geometry for fast tests: 16 x 900 image at 0.4 deg.
+def tiny_config(**kw) -> PipelineConfig:
+    base = dict(
+        horizon_scan=900,
+        ang_res_x_deg=0.4,
+        max_raw_points=16384,
+        ring_width=512,
+        max_less_flat=4096,
+        max_outlier=1024,
+        max_keyframes=64,
+        kf_corner_cap=512,
+        kf_surf_cap=1024,
+        kf_outlier_cap=512,
+        map_corner_cap=4096,
+        map_surf_cap=8192,
+        loop_hist_cap=4096,
+        loop_latest_cap=2048,
+        max_loop_factors=16,
+        knn_chunk=1024,
+    )
+    base.update(kw)
+    return PipelineConfig(**base)
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,196 @@
+"""Synthetic 16-beam LiDAR world + raycaster (host-side, NumPy).
+
+The reference was validated only by replaying two private rosbags and
+eyeballing rviz (README.md:27-54); no fixture data ships with it.  This module
+is the test strategy the reference lacks: a procedural world (ground plane,
+walls/boxes for planar "surf" structure, poles/box edges for "corner"
+structure) plus an exact raycaster producing scans with known ground-truth
+poses, so every pipeline stage and the end-to-end ATE can be checked against
+truth.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ..config import PipelineConfig, LaserType
+
+
+@dataclasses.dataclass
+class World:
+    """Axis-aligned boxes + vertical cylinders + ground plane at z."""
+
+    boxes: np.ndarray       # [B, 6] xmin ymin zmin xmax ymax zmax
+    cylinders: np.ndarray   # [C, 4] cx cy radius height(top z from ground)
+    ground_z: float = -1.5
+
+
+def make_world(seed: int = 0, n_boxes: int = 14, n_cyl: int = 12,
+               extent: float = 60.0, ground_z: float = -1.5) -> World:
+    rng = np.random.default_rng(seed)
+    boxes = []
+    for _ in range(n_boxes):
+        cx, cy = rng.uniform(-extent, extent, 2)
+        # keep a corridor clear around the origin loop
+        if np.hypot(cx, cy) < 12.0:
+            cx += np.sign(cx or 1.0) * 14.0
+        w, d = rng.uniform(2.0, 10.0, 2)
+        h = rng.uniform(2.0, 6.0)
+        boxes.append([cx - w / 2, cy - d / 2, ground_z, cx + w / 2, cy + d / 2, ground_z + h])
+    cyls = []
+    for _ in range(n_cyl):
+        cx, cy = rng.uniform(-extent, extent, 2)
+        if np.hypot(cx, cy) < 12.0:
+            cy += np.sign(cy or 1.0) * 14.0
+        r = rng.uniform(0.1, 0.4)
+        h = rng.uniform(3.0, 7.0)
+        cyls.append([cx, cy, r, ground_z + h])
+    # perimeter walls (thin boxes) give long planar structure for surf features
+    E = extent + 8.0
+    t = 0.5
+    walls = [
+        [-E, -E, ground_z, E, -E + t, ground_z + 4.0],
+        [-E, E - t, ground_z, E, E, ground_z + 4.0],
+        [-E, -E, ground_z, -E + t, E, ground_z + 4.0],
+        [E - t, -E, ground_z, E, E, ground_z + 4.0],
+    ]
+    return World(boxes=np.array(boxes + walls, np.float64),
+                 cylinders=np.array(cyls, np.float64), ground_z=ground_z)
+
+
+def _rpy_to_rot(rpy: np.ndarray) -> np.ndarray:
+    r, p, y = rpy
+    sr, cr, sp, cp, sy, cy = np.sin(r), np.cos(r), np.sin(p), np.cos(p), np.sin(y), np.cos(y)
+    return np.array([
+        [cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr],
+        [sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr],
+        [-sp, cp * sr, cp * cr]])
+
+
+def loop_trajectory(n_frames: int, radius: float = 25.0, speed: float = 0.6,
+                    closed: bool = True) -> np.ndarray:
+    """Ground-truth poses [N, 4, 4]: a circular loop with tangent heading.
+
+    ``speed`` is metres per frame along the arc; with default radius and 5 Hz
+    framing this is ~3 m/s.  A closed loop revisits its start, exercising
+    loop-closure detection (>30 s gap, LM.cpp:934).
+    """
+    total_angle = 2 * np.pi if closed else (speed * n_frames) / radius
+    s = np.linspace(0, total_angle, n_frames, endpoint=closed)
+    poses = np.zeros((n_frames, 4, 4))
+    for k, a in enumerate(s):
+        x, y = radius * np.sin(a), radius * (1 - np.cos(a))
+        yaw = a
+        T = np.eye(4)
+        T[:3, :3] = _rpy_to_rot(np.array([0.0, 0.0, yaw]))
+        T[:3, 3] = [x, y, 0.0]
+        poses[k] = T
+    return poses
+
+
+def ray_directions(cfg: PipelineConfig) -> np.ndarray:
+    """[R, H, 3] unit ray directions in the sensor frame.
+
+    Elevations follow the sensor model so that re-projection recovers the ring:
+    uniform 2 deg spacing for LSLIDAR_C16 (IP.cpp:140) or the RFANS_16M band
+    centres (inverse of the piecewise table at IP.cpp:144-171).
+    """
+    if cfg.laser_type == LaserType.RFANS_16M:
+        # band centres inverting IP.cpp:144-171: rings 0-3 fixed, 4-10 at 1 deg,
+        # 11-12 at 2 deg, 13-15 at 3 deg spacing
+        elev_deg = np.array([-15.0, -12.0, -9.5, -8.0,
+                             -6.0, -5.0, -4.0, -3.0, -2.0, -1.0, 0.0,
+                             1.0, 3.0, 5.0, 8.0, 11.0], np.float64)
+        assert elev_deg.shape[0] == cfg.n_scan
+    else:
+        elev_deg = np.arange(cfg.n_scan) * cfg.ang_res_y_deg - cfg.ang_bottom_deg
+    elev = np.radians(elev_deg)
+    az = -np.arange(cfg.horizon_scan) * np.radians(cfg.ang_res_x_deg)
+    ce, se = np.cos(elev)[:, None], np.sin(elev)[:, None]
+    ca, sa = np.cos(az)[None, :], np.sin(az)[None, :]
+    dirs = np.stack([ce * ca, ce * sa, np.broadcast_to(se, ce * ca * 0 + se.shape
+                     if False else (cfg.n_scan, cfg.horizon_scan))], -1)
+    return dirs
+
+
+def _ray_ground(origin, dirs, ground_z):
+    dz = dirs[..., 2]
+    t = np.where(dz < -1e-9, (ground_z - origin[2]) / np.where(dz == 0, 1, dz), np.inf)
+    return np.where(t > 0, t, np.inf)
+
+
+def _ray_boxes(origin, dirs, boxes):
+    """Slab-method AABB intersection; returns min positive t over boxes."""
+    t_best = np.full(dirs.shape[:-1], np.inf)
+    inv = 1.0 / np.where(np.abs(dirs) < 1e-12, 1e-12, dirs)
+    for b in boxes:
+        lo = (b[:3] - origin) * inv
+        hi = (b[3:] - origin) * inv
+        tmin = np.minimum(lo, hi).max(-1)
+        tmax = np.maximum(lo, hi).min(-1)
+        t = np.where((tmax >= tmin) & (tmax > 0), np.where(tmin > 0, tmin, np.inf), np.inf)
+        t_best = np.minimum(t_best, t)
+    return t_best
+
+
+def _ray_cylinders(origin, dirs, cyls, ground_z):
+    t_best = np.full(dirs.shape[:-1], np.inf)
+    for c in cyls:
+        cx, cy, r, top = c
+        ox, oy = origin[0] - cx, origin[1] - cy
+        dx, dy = dirs[..., 0], dirs[..., 1]
+        a = dx * dx + dy * dy
+        b = 2 * (ox * dx + oy * dy)
+        cc = ox * ox + oy * oy - r * r
+        disc = b * b - 4 * a * cc
+        ok = (disc > 0) & (a > 1e-12)
+        sq = np.sqrt(np.maximum(disc, 0))
+        t = (-b - sq) / np.where(a == 0, 1, 2 * a)
+        z = origin[2] + t * dirs[..., 2]
+        ok &= (t > 0) & (z > ground_z) & (z < top)
+        t_best = np.minimum(t_best, np.where(ok, t, np.inf))
+    return t_best
+
+
+def render_scan(world: World, pose: np.ndarray, cfg: PipelineConfig,
+                noise: float = 0.0, max_range: float = 120.0,
+                rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Raycast one scan; returns points [R*H, 3] in the *sensor* frame.
+
+    Missed rays are NaN (the reference drops NaNs at IP.cpp:116).
+    """
+    dirs_s = ray_directions(cfg)
+    R3 = pose[:3, :3]
+    origin = pose[:3, 3]
+    dirs_w = dirs_s @ R3.T
+    t = _ray_ground(origin, dirs_w, world.ground_z)
+    t = np.minimum(t, _ray_boxes(origin, dirs_w, world.boxes))
+    t = np.minimum(t, _ray_cylinders(origin, dirs_w, world.cylinders, world.ground_z))
+    if noise > 0:
+        if rng is None:
+            rng = np.random.default_rng(0)
+        t = t + rng.normal(0, noise, t.shape)
+    hit = np.isfinite(t) & (t < max_range) & (t > cfg.min_range)
+    pts_sensor = dirs_s * np.where(hit, t, 0.0)[..., None]
+    pts_sensor = np.where(hit[..., None], pts_sensor, np.nan)
+    return pts_sensor.reshape(-1, 3).astype(np.float32)
+
+
+def render_sequence(world: World, poses: np.ndarray, cfg: PipelineConfig,
+                    noise: float = 0.0, seed: int = 0):
+    """Render all frames; returns (points [N, P, 3], mask [N, P]) padded arrays."""
+    rng = np.random.default_rng(seed)
+    cap = cfg.max_raw_points
+    n = poses.shape[0]
+    out = np.zeros((n, cap, 3), np.float32)
+    msk = np.zeros((n, cap), bool)
+    for k in range(n):
+        pts = render_scan(world, poses[k], cfg, noise=noise, rng=rng)
+        good = np.isfinite(pts).all(-1)
+        pts = pts[good][:cap]
+        out[k, : len(pts)] = pts
+        msk[k, : len(pts)] = True
+    return out, msk
