@@ -1,0 +1,89 @@
+"""Batched K-nearest-neighbour search — the KD-tree replacement (T1).
+
+The reference calls ``pcl::KdTreeFLANN::nearestKSearch`` per query point
+(``/root/reference/src/LO.cpp:412,502``, ``LM.cpp:520,568``) and rebuilds trees
+every frame.  Pointer-chasing trees are hostile to TPUs; dense distance
+matrices on the MXU are not: ``|q - r|^2 = |q|^2 - 2 q.r + |r|^2`` turns the
+search into one matmul per (query-tile, reference-chunk) pair.  Reference sets
+are streamed in chunks with a running top-k, so memory stays at
+``Q x (chunk + k)`` regardless of map size.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+BIG = 1e30
+
+
+def knn(query: jnp.ndarray, qmask: jnp.ndarray, ref: jnp.ndarray,
+        rmask: jnp.ndarray, k: int, chunk: int = 4096):
+    """K nearest neighbours of each query in ref.
+
+    query [Q, 3], ref [N, 3] with validity masks. Returns
+    (dists_sq [Q, k] ascending, idx [Q, k] int32); invalid refs never win,
+    invalid queries get BIG distances.
+    """
+    Q = query.shape[0]
+    N = ref.shape[0]
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    if pad:
+        ref = jnp.concatenate([ref, jnp.zeros((pad, 3), ref.dtype)], 0)
+        rmask = jnp.concatenate([rmask, jnp.zeros((pad,), bool)], 0)
+    ref_c = ref.reshape(n_chunks, chunk, 3)
+    rmask_c = rmask.reshape(n_chunks, chunk)
+
+    q_sq = jnp.sum(query * query, -1, keepdims=True)  # [Q, 1]
+
+    def body(carry, inp):
+        best_d, best_i = carry
+        rc, mc, base = inp
+        r_sq = jnp.sum(rc * rc, -1)[None, :]
+        d2 = q_sq - 2.0 * (query @ rc.T) + r_sq           # [Q, chunk] (MXU)
+        d2 = jnp.where(mc[None, :], d2, BIG)
+        idx = base + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        cat_d = jnp.concatenate([best_d, d2], 1)
+        cat_i = jnp.concatenate([best_i, idx], 1)
+        neg_top, top_pos = jax.lax.top_k(-cat_d, k)
+        new_d = -neg_top
+        new_i = jnp.take_along_axis(cat_i, top_pos, axis=1)
+        return (new_d, new_i), None
+
+    init = (jnp.full((Q, k), BIG, query.dtype), jnp.zeros((Q, k), jnp.int32))
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (best_d, best_i), _ = jax.lax.scan(body, init, (ref_c, rmask_c, bases))
+
+    best_d = jnp.where(qmask[:, None], best_d, BIG)
+    # ascending order (top_k of negatives gives ascending already)
+    return jnp.maximum(best_d, 0.0), best_i
+
+
+def nn1(query, qmask, ref, rmask, chunk: int = 4096):
+    d, i = knn(query, qmask, ref, rmask, 1, chunk)
+    return d[:, 0], i[:, 0]
+
+
+def masked_argmin_dist(query: jnp.ndarray, ref: jnp.ndarray, ref_ok: jnp.ndarray):
+    """Per-query argmin over a *small* ref set with a per-query mask.
+
+    query [Q, 3], ref [N, 3], ref_ok [Q, N] bool. Returns (d2 [Q], idx [Q]).
+    Used for the ring-constrained second/third point searches (LO.cpp:419-466)
+    where the eligibility mask differs per query.
+    """
+    q_sq = jnp.sum(query * query, -1, keepdims=True)
+    r_sq = jnp.sum(ref * ref, -1)[None, :]
+    d2 = q_sq - 2.0 * (query @ ref.T) + r_sq
+    d2 = jnp.where(ref_ok, d2, BIG)
+    idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    return jnp.maximum(jnp.take_along_axis(d2, idx[:, None], 1)[:, 0], 0.0), idx
+
+
+def radius_count(query: jnp.ndarray, ref: jnp.ndarray, rmask: jnp.ndarray,
+                 radius: float):
+    """Number of refs within radius of each query (loop-closure detection)."""
+    q_sq = jnp.sum(query * query, -1, keepdims=True)
+    r_sq = jnp.sum(ref * ref, -1)[None, :]
+    d2 = q_sq - 2.0 * (query @ ref.T) + r_sq
+    return jnp.sum((d2 <= radius * radius) & rmask[None, :], axis=1)

@@ -1,0 +1,108 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from alego_tpu.config import tiny_config
+from alego_tpu.ops import features, projection, segmentation
+from alego_tpu.ops.segmentation import SegmentedScan
+from alego_tpu.utils import synthetic
+
+from reference_impls import sequential_feature_pick, voxel_centroid
+
+
+def _fake_seg(ranges, cols, ground, counts, cfg):
+    R, W = ranges.shape
+    valid = np.arange(W)[None, :] < counts[:, None]
+    pts = np.zeros((R, W, 3), np.float32)
+    pts[..., 0] = ranges
+    pts[..., 1] = np.arange(W)[None, :] * 0.05
+    return SegmentedScan(
+        points=jnp.asarray(pts), ranges=jnp.asarray(ranges.astype(np.float32)),
+        cols=jnp.asarray(cols.astype(np.int32)), ground=jnp.asarray(ground & valid),
+        valid=jnp.asarray(valid), counts=jnp.asarray(counts.astype(np.int32)),
+        outlier_points=jnp.zeros((cfg.max_outlier, 3), jnp.float32),
+        outlier_valid=jnp.zeros(cfg.max_outlier, bool))
+
+
+def test_curvature_formula():
+    cfg = tiny_config()
+    R, W = cfg.n_scan, cfg.ring_width
+    rng = np.random.default_rng(0)
+    ranges = rng.uniform(5, 30, (R, W))
+    counts = np.full(R, W, np.int64)
+    seg = _fake_seg(ranges, np.arange(W)[None].repeat(R, 0), np.zeros((R, W), bool),
+                    counts, cfg)
+    curv, win = features.curvature_and_window(seg, cfg)
+    k = 100
+    d = ranges[0, k - 5 : k + 6].sum() - 11 * ranges[0, k] + ranges[0, k] * 1  # window sum - 10r
+    want = (ranges[0, k - 5 : k + 6].sum() - ranges[0, k] - 10 * ranges[0, k]) ** 2
+    np.testing.assert_allclose(np.asarray(curv)[0, k], want, rtol=1e-4)
+    assert bool(np.asarray(win)[0, 5]) and not bool(np.asarray(win)[0, 4])
+
+
+def test_picking_matches_sequential_oracle():
+    cfg = tiny_config()
+    R, W = cfg.n_scan, 256
+    cfg = cfg.replace(ring_width=W)
+    rng = np.random.default_rng(1)
+    # piecewise-linear ranges with corners + smooth ground -> rich curvature
+    base = np.cumsum(rng.uniform(-0.2, 0.2, (R, W)), axis=1) + 10
+    jumps = rng.random((R, W)) < 0.03
+    ranges = base + np.cumsum(jumps * rng.uniform(1, 3, (R, W)), axis=1)
+    cols = (np.arange(W)[None, :] * 3 + rng.integers(0, 2, (R, W))).astype(np.int64)
+    ground = rng.random((R, W)) < 0.4
+    counts = rng.integers(120, W, R)
+
+    seg = _fake_seg(ranges, cols, ground, counts, cfg)
+    curv, win = features.curvature_and_window(seg, cfg)
+    picked0 = features.occlusion_mask(seg, cfg)
+
+    labels = jax.vmap(lambda c, co, g, p, w, n: features._pick_ring(
+        c, co, g, p, w, n, cfg))(curv, seg.cols, seg.ground, picked0, win, seg.counts)
+    labels = np.asarray(labels)
+
+    curv_np = np.asarray(curv)
+    picked_np = np.asarray(picked0)
+    win_np = np.asarray(win)
+    ground_np = np.asarray(seg.ground)
+    valid_np = np.asarray(seg.valid)
+    for i in range(R):
+        want = sequential_feature_pick(
+            curv_np[i], np.asarray(seg.cols)[i], ground_np[i], valid_np[i],
+            picked_np[i] | ~win_np[i])
+        np.testing.assert_array_equal(labels[i], want, err_msg=f"ring {i}")
+
+
+def test_voxel_downsample_matches_dict_oracle():
+    from alego_tpu.ops.voxel import voxel_downsample
+
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-20, 20, (500, 3)).astype(np.float32)
+    mask = rng.random(500) < 0.8
+    out, m = voxel_downsample(jnp.asarray(pts), jnp.asarray(mask), 0.9, 512)
+    got = np.asarray(out)[np.asarray(m)]
+    want = voxel_centroid(pts[mask], 0.9)
+    got_s = got[np.lexsort(got.T)]
+    want_s = want[np.lexsort(want.T)]
+    np.testing.assert_allclose(got_s, want_s, atol=1e-4)
+
+
+def test_full_feature_extraction_on_rendered_scan():
+    cfg = tiny_config()
+    world = synthetic.make_world(seed=5)
+    pts = synthetic.render_scan(world, np.eye(4), cfg)
+    good = np.isfinite(pts).all(-1)
+    pad = np.where(good[:, None], pts, 0.0)[: cfg.max_raw_points]
+    img = projection.project_scan(jnp.asarray(pad), jnp.asarray(good[: cfg.max_raw_points]), cfg)
+    seg = segmentation.segment_scan(img, cfg)
+    fc = features.extract_features(seg, cfg)
+    n_sharp = int(np.asarray(fc.sharp_valid).sum())
+    n_ls = int(np.asarray(fc.less_sharp_valid).sum())
+    n_flat = int(np.asarray(fc.flat_valid).sum())
+    n_lf = int(np.asarray(fc.less_flat_valid).sum())
+    assert n_sharp > 5
+    assert n_ls >= n_sharp
+    assert n_flat > 20
+    assert n_lf > 100
+    # flats are ground points; sharps are not
+    assert np.asarray(fc.sharp_ring)[np.asarray(fc.sharp_valid)].max() < cfg.n_scan

@@ -1,0 +1,154 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from alego_tpu.ops import knn, residuals, gauss_newton, eig3, se3
+
+
+def test_knn_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    q = rng.uniform(-10, 10, (37, 3)).astype(np.float32)
+    r = rng.uniform(-10, 10, (533, 3)).astype(np.float32)
+    rmask = rng.random(533) < 0.7
+    qmask = np.ones(37, bool)
+    d, i = knn.knn(jnp.asarray(q), jnp.asarray(qmask), jnp.asarray(r),
+                   jnp.asarray(rmask), k=5, chunk=128)
+    d, i = np.asarray(d), np.asarray(i)
+    d2_full = ((q[:, None] - r[None]) ** 2).sum(-1)
+    d2_full[:, ~rmask] = np.inf
+    want_i = np.argsort(d2_full, axis=1)[:, :5]
+    want_d = np.take_along_axis(d2_full, want_i, 1)
+    np.testing.assert_allclose(d, want_d, rtol=1e-3, atol=1e-3)
+    # indices may differ on exact ties; distances must match
+    got_d = np.take_along_axis(d2_full, i, 1)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-3, atol=1e-3)
+
+
+def test_line_residual_and_jacobian_vs_autodiff():
+    rng = np.random.default_rng(1)
+    N = 64
+    params = jnp.asarray(rng.uniform(-0.3, 0.3, 6).astype(np.float32))
+    cp = jnp.asarray(rng.uniform(-5, 5, (N, 3)).astype(np.float32))
+    pj = jnp.asarray(rng.uniform(-5, 5, (N, 3)).astype(np.float32))
+    pl = jnp.asarray(pj + rng.uniform(-2, 2, (N, 3)).astype(np.float32))
+
+    r, J = residuals.point_to_line(params, cp, pj, pl)
+    J_auto = jax.jacfwd(lambda p: residuals.point_to_line(p, cp, pj, pl)[0])(params)
+    np.testing.assert_allclose(np.asarray(J), np.asarray(J_auto), atol=5e-3)
+
+
+def test_plane3pt_residual_and_jacobian_vs_autodiff():
+    rng = np.random.default_rng(2)
+    N = 64
+    params = jnp.asarray(rng.uniform(-0.3, 0.3, 6).astype(np.float32))
+    cp = jnp.asarray(rng.uniform(-5, 5, (N, 3)).astype(np.float32))
+    pj = jnp.asarray(rng.uniform(-5, 5, (N, 3)).astype(np.float32))
+    pl = jnp.asarray(pj + rng.uniform(-2, 2, (N, 3)).astype(np.float32))
+    pm = jnp.asarray(pj + rng.uniform(-2, 2, (N, 3)).astype(np.float32))
+    r, J = residuals.point_to_plane_3pt(params, cp, pj, pl, pm)
+    J_auto = jax.jacfwd(lambda p: residuals.point_to_plane_3pt(p, cp, pj, pl, pm)[0])(params)
+    np.testing.assert_allclose(np.asarray(J), np.asarray(J_auto), atol=5e-3)
+
+
+def test_fitted_plane_jacobian_vs_autodiff():
+    rng = np.random.default_rng(3)
+    N = 32
+    params = jnp.asarray(rng.uniform(-0.3, 0.3, 6).astype(np.float32))
+    cp = jnp.asarray(rng.uniform(-5, 5, (N, 3)).astype(np.float32))
+    n = rng.uniform(-1, 1, (N, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    d0 = jnp.asarray(rng.uniform(-2, 2, N).astype(np.float32))
+    r, J = residuals.point_to_plane_fitted(params, cp, jnp.asarray(n), d0)
+    J_auto = jax.jacfwd(
+        lambda p: residuals.point_to_plane_fitted(p, cp, jnp.asarray(n), d0)[0])(params)
+    np.testing.assert_allclose(np.asarray(J), np.asarray(J_auto), atol=5e-3)
+
+
+def test_gn_recovers_pose_from_plane_residuals():
+    """Synthetic full-6DoF registration: points on 3 orthogonal planes."""
+    rng = np.random.default_rng(4)
+    true = np.array([0.3, -0.2, 0.15, 0.04, -0.03, 0.08], np.float32)
+    N = 300
+    normals = np.repeat(np.eye(3, dtype=np.float32), N // 3, axis=0)
+    # target planes: n.x + d = 0 with random offsets
+    d0 = np.tile(rng.uniform(-5, 5, 3).astype(np.float32), N // 3 + 1)[:N]
+    normals = np.tile(np.eye(3, dtype=np.float32), (N // 3, 1))[:N]
+    # choose world points exactly on each plane, then pull back through truth
+    pts_w = rng.uniform(-5, 5, (N, 3)).astype(np.float32)
+    for k in range(N):
+        ax = k % 3
+        pts_w[k, ax] = -d0[k]
+    T = np.asarray(se3.params_to_mat(jnp.asarray(true)))
+    pts_l = (pts_w - T[:3, 3]) @ T[:3, :3]  # R^T (p - t)
+
+    cp = jnp.asarray(pts_l)
+    nrm = jnp.asarray(normals)
+    dd = jnp.asarray(d0)
+    w = jnp.ones(N, jnp.float32)
+
+    def res_fn(p):
+        r, J = residuals.point_to_plane_fitted(p, cp, nrm, dd)
+        return r, J, w
+
+    sol = gauss_newton.solve_gn(res_fn, jnp.zeros(6, jnp.float32), 10,
+                                gauss_newton.FULL_DIMS, huber_delta=0.1)
+    np.testing.assert_allclose(np.asarray(sol), true, atol=1e-3)
+
+
+def test_gn_dim_mask_freezes_params():
+    rng = np.random.default_rng(5)
+    N = 100
+    cp = jnp.asarray(rng.uniform(-5, 5, (N, 3)).astype(np.float32))
+    nrm = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (N // 3 + 1, 1))[:N])
+    dd = jnp.asarray(rng.uniform(-2, 2, N).astype(np.float32))
+    w = jnp.ones(N, jnp.float32)
+
+    def res_fn(p):
+        r, J = residuals.point_to_plane_fitted(p, cp, nrm, dd)
+        return r, J, w
+
+    sol = gauss_newton.solve_gn(res_fn, jnp.zeros(6, jnp.float32), 5,
+                                gauss_newton.SURF_DIMS, huber_delta=0.1)
+    s = np.asarray(sol)
+    assert s[2] != 0.0
+    np.testing.assert_array_equal(s[[0, 1, 3, 4, 5]], 0.0)
+
+
+def test_eig3_matches_numpy():
+    rng = np.random.default_rng(6)
+    A = rng.normal(size=(50, 3, 3)).astype(np.float32)
+    C = A @ A.transpose(0, 2, 1)
+    ev = np.asarray(eig3.sym_eigvals_3x3(jnp.asarray(C)))
+    want = np.linalg.eigvalsh(C)
+    np.testing.assert_allclose(ev, want, rtol=1e-3, atol=1e-3)
+    v = np.asarray(eig3.principal_direction(jnp.asarray(C), jnp.asarray(ev)))
+    # Cv = l2 v
+    Cv = np.einsum("nij,nj->ni", C, v)
+    np.testing.assert_allclose(Cv, ev[:, 2:3] * v, rtol=2e-2, atol=2e-2)
+
+
+def test_pca_line_fit_detects_line():
+    rng = np.random.default_rng(7)
+    t = rng.uniform(-1, 1, (1, 5, 1)).astype(np.float32)
+    direction = np.array([[0.6, 0.8, 0.0]], np.float32)
+    pts = t * direction[:, None, :] + rng.normal(0, 0.01, (1, 5, 3)).astype(np.float32)
+    valid = np.ones((1, 5), bool)
+    center, d, ev = eig3.pca_line_fit(jnp.asarray(pts), jnp.asarray(valid))
+    ev = np.asarray(ev)
+    assert ev[0, 2] > 3 * ev[0, 1]
+    got = np.abs(np.asarray(d)[0] @ direction[0])
+    assert got > 0.99
+
+
+def test_plane_fit():
+    rng = np.random.default_rng(8)
+    # points on plane z = 2 (n = (0,0,-0.5) solving n.p = -1)
+    pts = rng.uniform(-5, 5, (1, 5, 3)).astype(np.float32)
+    pts[..., 2] = 2.0
+    valid = np.ones((1, 5), bool)
+    n, d0, ok = eig3.plane_fit(jnp.asarray(pts), jnp.asarray(valid), tol=0.2)
+    assert bool(np.asarray(ok)[0])
+    nn = np.asarray(n)[0]
+    np.testing.assert_allclose(np.abs(nn), [0, 0, 1], atol=1e-3)
+    # plane eq: n.p + d0 = 0 for p on plane
+    np.testing.assert_allclose(nn[2] * 2.0 + np.asarray(d0)[0], 0.0, atol=1e-3)
