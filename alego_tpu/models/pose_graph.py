@@ -1,0 +1,176 @@
+"""SE(3) pose-graph optimisation (T4 — the GTSAM/iSAM2 replacement).
+
+The reference maintains a gtsam ``ISAM2`` with a prior on pose 0, odometry
+``BetweenFactor``s along the keyframe chain, and loop-closure between factors
+(``/root/reference/src/LM.cpp:197-204, 636-704, 878-882``).  At this system's
+scale the honest TPU-native design is batched Gauss-Newton over the whole
+graph: the factor set is three fixed-shape arrays (prior, chain, loops), the
+residual is the right-trivialised ``Log(Z^-1 Xi^-1 Xj)``, Jacobians use the
+standard adjoint closed forms with the small-residual ``Jr^-1 ~ I + ad(r)/2``
+approximation, and the normal equations are assembled densely (6N x 6N) and
+solved by Cholesky — a few-thousand-dof solve, microseconds of MXU time.
+
+Incremental behaviour mimicking iSAM2's relinearisation policy: between loop
+closures the chain is exact (each new keyframe pose is the composed estimate),
+so the full solve runs only when a loop factor arrives — matching where the
+reference actually spends iSAM2 work (update x2 on loop, LM.cpp:880-881).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import se3
+
+
+class PoseGraph(NamedTuple):
+    """Fixed-capacity factor-graph state.
+
+    poses:      [N, 4, 4] current estimates (active: [:count])
+    chain_rel:  [N, 4, 4] Z_i = X_{i-1}^-1 X_i measured at insertion
+                (chain_rel[0] is the prior pose of node 0)
+    loop_i/j:   [L] endpoints of loop factors
+    loop_rel:   [L, 4, 4] measured relative pose X_i^-1 X_j
+    loop_w:     [L] information weight (0 = empty slot)
+    count:      scalar int32 active poses
+    loop_count: scalar int32 active loop factors
+    """
+
+    poses: jnp.ndarray
+    chain_rel: jnp.ndarray
+    loop_i: jnp.ndarray
+    loop_j: jnp.ndarray
+    loop_rel: jnp.ndarray
+    loop_w: jnp.ndarray
+    count: jnp.ndarray
+    loop_count: jnp.ndarray
+
+
+def init_graph(max_kf: int, max_loops: int, dtype=jnp.float32) -> PoseGraph:
+    I = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (max_kf, 4, 4))
+    return PoseGraph(
+        poses=I, chain_rel=I,
+        loop_i=jnp.zeros(max_loops, jnp.int32),
+        loop_j=jnp.zeros(max_loops, jnp.int32),
+        loop_rel=jnp.broadcast_to(jnp.eye(4, dtype=dtype), (max_loops, 4, 4)),
+        loop_w=jnp.zeros(max_loops, dtype),
+        count=jnp.int32(0), loop_count=jnp.int32(0),
+    )
+
+
+def add_keyframe(g: PoseGraph, pose: jnp.ndarray) -> PoseGraph:
+    """Append a pose; measured between = prev^-1 @ pose (LM.cpp:655-658)."""
+    k = g.count
+    prev = g.poses[jnp.maximum(k - 1, 0)]
+    rel = jnp.where(k == 0, pose, se3.inv_mat(prev) @ pose)
+    return g._replace(
+        poses=g.poses.at[k].set(pose),
+        chain_rel=g.chain_rel.at[k].set(rel),
+        count=k + 1,
+    )
+
+
+def add_loop_factor(g: PoseGraph, i, j, rel, weight) -> PoseGraph:
+    l = jnp.minimum(g.loop_count, g.loop_w.shape[0] - 1)
+    return g._replace(
+        loop_i=g.loop_i.at[l].set(i.astype(jnp.int32)),
+        loop_j=g.loop_j.at[l].set(j.astype(jnp.int32)),
+        loop_rel=g.loop_rel.at[l].set(rel),
+        loop_w=g.loop_w.at[l].set(weight),
+        loop_count=g.loop_count + 1,
+    )
+
+
+def _between_residual(Xi, Xj, Z):
+    """r = Log(Z^-1 Xi^-1 Xj) and Jacobians wrt right-perturbations of i, j."""
+    E = se3.inv_mat(Z) @ se3.inv_mat(Xi) @ Xj
+    r = se3.se3_log(E)
+    # Jr^{-1}(r) ~ I + 0.5 ad(r)
+    ad = jnp.zeros(r.shape[:-1] + (6, 6), r.dtype)
+    rho, phi = r[..., :3], r[..., 3:]
+    ad = ad.at[..., :3, :3].set(se3.hat(phi))
+    ad = ad.at[..., :3, 3:].set(se3.hat(rho))
+    ad = ad.at[..., 3:, 3:].set(se3.hat(phi))
+    I6 = jnp.eye(6, dtype=r.dtype)
+    Jr_inv = I6 + 0.5 * ad
+    Jj = Jr_inv
+    Ji = -Jr_inv @ se3.adjoint(se3.inv_mat(Xj) @ Xi)
+    return r, Ji, Jj
+
+
+def _assemble_and_solve(g: PoseGraph, chain_sigma, loop_w_scale, damping):
+    """One GN iteration: dense H delta = -b over 6*N dofs."""
+    N = g.poses.shape[0]
+    dtype = g.poses.dtype
+    idx = jnp.arange(N)
+    active = idx < g.count
+
+    # --- chain factors: (i-1) -> i for i in [1, count) ---
+    Xi = g.poses[jnp.maximum(idx - 1, 0)]
+    Xj = g.poses
+    r_c, Ji_c, Jj_c = _between_residual(Xi, Xj, g.chain_rel)
+    w_c = (active & (idx > 0)).astype(dtype)
+    info_c = 1.0 / jnp.asarray(chain_sigma, dtype)  # [6] diag information
+
+    # --- prior on node 0: r = Log(Z0^-1 X0) ---
+    r_p = se3.se3_log(se3.inv_mat(g.chain_rel[0]) @ g.poses[0])
+    ad0 = jnp.eye(6, dtype=dtype)  # Jr_inv ~ I for small residual
+    w_p = (g.count > 0).astype(dtype)
+
+    # --- loop factors ---
+    Xl_i = g.poses[g.loop_i]
+    Xl_j = g.poses[g.loop_j]
+    r_l, Ji_l, Jj_l = _between_residual(Xl_i, Xl_j, g.loop_rel)
+    l_idx = jnp.arange(g.loop_w.shape[0])
+    w_l = jnp.where(l_idx < g.loop_count, g.loop_w, 0.0) * loop_w_scale
+
+    # --- dense assembly ---
+    H = jnp.zeros((N, N, 6, 6), dtype)
+    b = jnp.zeros((N, 6), dtype)
+
+    def add_factor(H, b, i, j, r, Ji, Jj, w, info):
+        WJi = Ji * (w[..., None, None] * info[None, :, None])
+        WJj = Jj * (w[..., None, None] * info[None, :, None])
+        H = H.at[i, i].add(jnp.einsum("nki,nkj->nij", Ji, WJi))
+        H = H.at[j, j].add(jnp.einsum("nki,nkj->nij", Jj, WJj))
+        H = H.at[i, j].add(jnp.einsum("nki,nkj->nij", Ji, WJj))
+        H = H.at[j, i].add(jnp.einsum("nki,nkj->nij", Jj, WJi))
+        b = b.at[i].add(jnp.einsum("nki,nk->ni", WJi, r))
+        b = b.at[j].add(jnp.einsum("nki,nk->ni", WJj, r))
+        return H, b
+
+    H, b = add_factor(H, b, jnp.maximum(idx - 1, 0), idx, r_c, Ji_c, Jj_c,
+                      w_c, info_c)
+    H, b = add_factor(H, b, g.loop_i, g.loop_j, r_l, Ji_l, Jj_l, w_l,
+                      jnp.ones(6, dtype))
+    # prior: strong unary on node 0
+    prior_info = info_c * w_p
+    H = H.at[0, 0].add(jnp.diag(prior_info))
+    b = b.at[0].add(prior_info * r_p)
+
+    # inactive poses: identity blocks keep the system well-posed
+    Hd = H.transpose(0, 2, 1, 3).reshape(N * 6, N * 6)
+    act = jnp.repeat(active.astype(dtype), 6)
+    Hd = Hd * (act[:, None] * act[None, :]) + jnp.diag(1.0 - act)
+    Hd = Hd + damping * jnp.eye(N * 6, dtype=dtype)
+    bd = b.reshape(-1) * act
+
+    delta = -jnp.linalg.solve(Hd, bd).reshape(N, 6)
+    return delta, active
+
+
+def optimize(g: PoseGraph, chain_sigma, iters: int = 10,
+             loop_w_scale: float = 1.0, damping: float = 1e-6) -> PoseGraph:
+    """Batched GN over the whole graph (runs on loop closure)."""
+    sigma = jnp.asarray(chain_sigma, g.poses.dtype)
+
+    def body(_, g):
+        delta, active = _assemble_and_solve(g, sigma, loop_w_scale, damping)
+        upd = g.poses @ se3.se3_exp(delta)
+        poses = jnp.where(active[:, None, None], upd, g.poses)
+        return g._replace(poses=poses)
+
+    return jax.lax.fori_loop(0, iters, body, g)
