@@ -97,14 +97,18 @@ class PipelineConfig:
     history_search_num: int = 25          # LM.cpp:211
     history_fitness_score: float = 0.3    # LM.cpp:212
     loop_time_gap: float = 30.0           # LM.cpp:934
-    loop_every_n_keyframes: int = 5       # ~1 Hz thread cadence equivalent
+    loop_every_n_keyframes: int = 1       # attempt per keyframe (~1 Hz thread)
     icp_max_corr_dist: float = 100.0      # LM.cpp:819
     icp_iters: int = 100                  # LM.cpp:820
     icp_translation_eps: float = 1e-6     # LM.cpp:821
 
     # --- pose graph (LM.cpp:197-204) ---
-    prior_sigma: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6)
-    odom_sigma: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6)
+    # The reference's gtsam variances (1e-6 rot / 1e-8..1e-6 trans,
+    # LM.cpp:201-204) give a chain:loop stiffness ratio ~1e6 that is both
+    # numerically hostile in f32 and makes loop factors nearly inert; we keep
+    # the chain much stiffer than loops but at a conditioning-safe ratio.
+    # Order: twist [rho(3), phi(3)] variances.
+    pose_graph_chain_sigma: tuple = (1e-4, 1e-4, 1e-4, 1e-4, 1e-4, 1e-4)
     pose_graph_gn_iters: int = 10
 
     # --- IMU (utility.h:68-70, LO.cpp:840-881) ---
@@ -125,7 +129,7 @@ class PipelineConfig:
     kf_outlier_cap: int = 1024      # per-keyframe stored outlier points
     map_corner_cap: int = 8192      # merged+downsampled local corner map
     map_surf_cap: int = 16384       # merged+downsampled local surf map
-    loop_hist_cap: int = 16384      # loop-closure history cloud
+    loop_hist_cap: int = 32768      # loop-closure history cloud
     loop_latest_cap: int = 4096     # loop-closure latest keyframe cloud
     max_loop_factors: int = 64      # stored loop-closure constraints
     knn_chunk: int = 4096           # map points per streamed KNN chunk
@@ -164,7 +168,7 @@ def tiny_config(**kw) -> PipelineConfig:
         kf_outlier_cap=512,
         map_corner_cap=4096,
         map_surf_cap=8192,
-        loop_hist_cap=4096,
+        loop_hist_cap=12288,
         loop_latest_cap=2048,
         max_loop_factors=16,
         knn_chunk=1024,

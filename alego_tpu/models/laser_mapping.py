@@ -1,0 +1,303 @@
+"""Scan-to-map matching + keyframe management + loop closure (C12/C13).
+
+Re-design of ``/root/reference/src/LM.cpp`` as fixed-shape jittable steps:
+
+* the growing ``corner_frames_/surf_frames_/outlier_frames_`` vectors become
+  fixed-capacity keyframe arrays (the "unbounded map growth" of SURVEY §5.7
+  bounded by ``max_keyframes``);
+* ``extractSurroundingKeyFrames`` (LM.cpp:339-468, loop-closure mode) becomes
+  a batched gather+transform of the last 50 keyframes and a voxel-grid merge;
+* ``scan2MapOptimization`` (LM.cpp:493-624) keeps the reference's exact
+  structure — 2 outer association passes, 5-NN with 1 m gate, PCA line test
+  (l2 > 3*l1), QR plane fit with 0.2 m validity, then 20 full-6DoF GN
+  iterations with Huber(0.1) — but every fit/residual is batched;
+* ``saveKeyFramesAndFactor`` / ``correctPoses`` / ``transformUpdate``
+  (LM.cpp:636-730) map onto the PoseGraph module; the full GN solve runs on
+  loop closures, matching where iSAM2 does real work in the reference;
+* the 1 Hz loop-closure thread (LM.cpp:779-903) becomes ``loop_closure_step``
+  invoked by the pipeline on a keyframe cadence.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from ..ops import se3
+from ..ops.knn import knn
+from ..ops.voxel import voxel_downsample, compact_masked
+from ..ops.eig3 import pca_line_fit, plane_fit
+from ..ops.residuals import point_to_line, point_to_plane_fitted
+from ..ops.gauss_newton import solve_gn, FULL_DIMS
+from ..ops.icp import icp_point_to_point
+from . import pose_graph as pg
+
+
+class MappingState(NamedTuple):
+    graph: pg.PoseGraph
+    kf_times: jnp.ndarray        # [MAX_KF]
+    kf_corner: jnp.ndarray       # [MAX_KF, KC, 3] (laser frame)
+    kf_corner_valid: jnp.ndarray
+    kf_surf: jnp.ndarray         # [MAX_KF, KS, 3]
+    kf_surf_valid: jnp.ndarray
+    kf_outlier: jnp.ndarray      # [MAX_KF, KO, 3]
+    kf_outlier_valid: jnp.ndarray
+    T_map2odom: jnp.ndarray      # [4, 4]
+    T_map2laser: jnp.ndarray     # [4, 4]
+    last_loop_kf: jnp.ndarray    # int32: keyframe index of last loop attempt
+
+
+def init_state(cfg: PipelineConfig, dtype=jnp.float32) -> MappingState:
+    M = cfg.max_keyframes
+    return MappingState(
+        graph=pg.init_graph(M, cfg.max_loop_factors, dtype),
+        kf_times=jnp.zeros(M, dtype),
+        kf_corner=jnp.zeros((M, cfg.kf_corner_cap, 3), dtype),
+        kf_corner_valid=jnp.zeros((M, cfg.kf_corner_cap), bool),
+        kf_surf=jnp.zeros((M, cfg.kf_surf_cap, 3), dtype),
+        kf_surf_valid=jnp.zeros((M, cfg.kf_surf_cap), bool),
+        kf_outlier=jnp.zeros((M, cfg.kf_outlier_cap, 3), dtype),
+        kf_outlier_valid=jnp.zeros((M, cfg.kf_outlier_cap), bool),
+        T_map2odom=jnp.eye(4, dtype=dtype),
+        T_map2laser=jnp.eye(4, dtype=dtype),
+        last_loop_kf=jnp.int32(-1),
+    )
+
+
+def _transform_kf_clouds(poses, pts, valid):
+    """Batch-transform [K, cap, 3] clouds by [K, 4, 4] poses."""
+    out = jnp.einsum("kij,kpj->kpi", poses[:, :3, :3], pts) + poses[:, None, :3, 3]
+    return jnp.where(valid[..., None], out, 0.0)
+
+
+def _build_local_map(ms: MappingState, cfg: PipelineConfig):
+    """Last-50-keyframes local map, voxel-merged (LM.cpp:351-468)."""
+    K = cfg.recent_keyframe_search_num
+    count = ms.graph.count
+    raw_idx = jnp.arange(K, dtype=jnp.int32) + count - K
+    kf_ok = (raw_idx >= 0) & (count > 0)
+    idx = jnp.clip(raw_idx, 0, cfg.max_keyframes - 1)
+
+    poses = ms.graph.poses[idx]
+    c_pts = _transform_kf_clouds(poses, ms.kf_corner[idx],
+                                 ms.kf_corner_valid[idx] & kf_ok[:, None])
+    s_pts = _transform_kf_clouds(poses, ms.kf_surf[idx],
+                                 ms.kf_surf_valid[idx] & kf_ok[:, None])
+    o_pts = _transform_kf_clouds(poses, ms.kf_outlier[idx],
+                                 ms.kf_outlier_valid[idx] & kf_ok[:, None])
+
+    c_valid = ms.kf_corner_valid[idx] & kf_ok[:, None]
+    s_valid = ms.kf_surf_valid[idx] & kf_ok[:, None]
+    o_valid = ms.kf_outlier_valid[idx] & kf_ok[:, None]
+
+    map_corner, map_corner_valid = voxel_downsample(
+        c_pts.reshape(-1, 3), c_valid.reshape(-1), cfg.corner_leaf,
+        cfg.map_corner_cap)
+    # surf map includes outliers (LM.cpp:385-387)
+    surf_all = jnp.concatenate([s_pts.reshape(-1, 3), o_pts.reshape(-1, 3)], 0)
+    surf_all_valid = jnp.concatenate([s_valid.reshape(-1), o_valid.reshape(-1)], 0)
+    map_surf, map_surf_valid = voxel_downsample(
+        surf_all, surf_all_valid, cfg.surf_leaf, cfg.map_surf_cap)
+    return map_corner, map_corner_valid, map_surf, map_surf_valid
+
+
+def _downsample_scan(corner_pts, corner_valid, surf_pts, surf_valid,
+                     outlier_pts, outlier_valid, cfg: PipelineConfig):
+    """downsampleCurrentScan (LM.cpp:470-491)."""
+    c_ds, c_ok = voxel_downsample(corner_pts, corner_valid, cfg.corner_leaf,
+                                  cfg.kf_corner_cap)
+    s_ds, s_ok = voxel_downsample(surf_pts, surf_valid, cfg.surf_leaf,
+                                  cfg.kf_surf_cap)
+    o_ds, o_ok = voxel_downsample(outlier_pts, outlier_valid, cfg.outlier_leaf,
+                                  cfg.kf_outlier_cap)
+    total = jnp.concatenate([s_ds, o_ds], 0)
+    total_ok = jnp.concatenate([s_ok, o_ok], 0)
+    st_ds, st_ok = voxel_downsample(total, total_ok, cfg.surf_leaf,
+                                    cfg.kf_surf_cap + cfg.kf_outlier_cap)
+    return c_ds, c_ok, s_ds, s_ok, o_ds, o_ok, st_ds, st_ok
+
+
+def _scan_to_map(params0, c_ds, c_ok, st_ds, st_ok,
+                 map_c, map_c_ok, map_s, map_s_ok, cfg: PipelineConfig):
+    """scan2MapOptimization (LM.cpp:493-624): association + full-6DoF GN."""
+    enough = ((jnp.sum(c_ok) >= cfg.min_corner_for_map)
+              & (jnp.sum(st_ok) >= cfg.min_surf_for_map)
+              & (jnp.sum(map_c_ok) >= cfg.min_corner_for_map))
+
+    def outer(_, params):
+        # corner: 5-NN + PCA line test (LM.cpp:516-562)
+        sel_c = se3.transform_points(params, c_ds)
+        d_c, i_c = knn(sel_c, c_ok, map_c, map_c_ok, cfg.map_knn,
+                       chunk=cfg.knn_chunk)
+        near_c = c_ok & (d_c[:, cfg.map_knn - 1] < cfg.map_nn_max_dist_sq)
+        nbrs = map_c[i_c]                                   # [Q, 5, 3]
+        center, direction, ev = pca_line_fit(nbrs, jnp.ones_like(d_c, bool))
+        is_line = ev[:, 2] > cfg.line_eig_ratio * ev[:, 1]
+        pj = center + 0.1 * direction
+        pl = center - 0.1 * direction
+        w_line = (near_c & is_line).astype(params.dtype)
+
+        # surf: 5-NN + plane fit (LM.cpp:564-607)
+        sel_s = se3.transform_points(params, st_ds)
+        d_s, i_s = knn(sel_s, st_ok, map_s, map_s_ok, cfg.map_knn,
+                       chunk=cfg.knn_chunk)
+        near_s = st_ok & (d_s[:, cfg.map_knn - 1] < cfg.map_nn_max_dist_sq)
+        nbrs_s = map_s[i_s]
+        unit_n, d0, plane_ok = plane_fit(nbrs_s, jnp.ones_like(d_s, bool),
+                                         cfg.plane_fit_tol)
+        w_plane = (near_s & plane_ok).astype(params.dtype)
+
+        def res_fn(p):
+            r_c, J_c = point_to_line(p, c_ds, pj, pl)
+            r_s, J_s = point_to_plane_fitted(p, st_ds, unit_n, d0)
+            r = jnp.concatenate([r_c, r_s])
+            J = jnp.concatenate([J_c, J_s])
+            w = jnp.concatenate([w_line, w_plane])
+            return r, J, w
+
+        return solve_gn(res_fn, params, cfg.map_gn_iters, FULL_DIMS,
+                        cfg.huber_delta)
+
+    params = jax.lax.fori_loop(0, cfg.map_outer_iters, outer, params0)
+    return jnp.where(enough, params, params0)
+
+
+def mapping_step(ms: MappingState, T_odom2laser: jnp.ndarray,
+                 corner_pts, corner_valid, surf_pts, surf_valid,
+                 outlier_pts, outlier_valid, time: jnp.ndarray,
+                 cfg: PipelineConfig):
+    """One mapping frame. Returns (new_state, T_map2laser)."""
+    # transformAssociateToMap (LM.cpp:333-337)
+    T_pred = ms.T_map2odom @ T_odom2laser
+
+    map_c, map_c_ok, map_s, map_s_ok = _build_local_map(ms, cfg)
+    (c_ds, c_ok, s_ds, s_ok, o_ds, o_ok, st_ds, st_ok) = _downsample_scan(
+        corner_pts, corner_valid, surf_pts, surf_valid,
+        outlier_pts, outlier_valid, cfg)
+
+    params0 = se3.mat_to_params(T_pred)
+    has_map = ms.graph.count > 0
+    params = jnp.where(
+        has_map,
+        _scan_to_map(params0, c_ds, c_ok, st_ds, st_ok,
+                     map_c, map_c_ok, map_s, map_s_ok, cfg),
+        params0)
+    T_new = se3.params_to_mat(params)
+
+    # saveKeyFramesAndFactor (LM.cpp:636-704); squared-distance gate quirk kept
+    last_idx = jnp.maximum(ms.graph.count - 1, 0)
+    last_t = ms.graph.poses[last_idx][:3, 3]
+    moved = jnp.sum((T_new[:3, 3] - last_t) ** 2) >= cfg.min_keyframe_dist_sq
+    is_kf = (ms.graph.count == 0) | moved
+
+    def save_kf(ms):
+        k = jnp.minimum(ms.graph.count, cfg.max_keyframes - 1)
+        return ms._replace(
+            graph=pg.add_keyframe(ms.graph, T_new),
+            kf_times=ms.kf_times.at[k].set(time),
+            kf_corner=ms.kf_corner.at[k].set(c_ds),
+            kf_corner_valid=ms.kf_corner_valid.at[k].set(c_ok),
+            kf_surf=ms.kf_surf.at[k].set(s_ds),
+            kf_surf_valid=ms.kf_surf_valid.at[k].set(s_ok),
+            kf_outlier=ms.kf_outlier.at[k].set(o_ds),
+            kf_outlier_valid=ms.kf_outlier_valid.at[k].set(o_ok),
+        )
+
+    ms = jax.lax.cond(is_kf, save_kf, lambda m: m, ms)
+
+    # transformUpdate (LM.cpp:626-634)
+    T_map2odom = T_new @ se3.inv_mat(T_odom2laser)
+    ms = ms._replace(T_map2odom=T_map2odom, T_map2laser=T_new)
+    return ms, T_new
+
+
+# ---------------------------------------------------------------------------
+# Loop closure (LM.cpp:779-975)
+# ---------------------------------------------------------------------------
+
+def _keyframe_cloud(ms: MappingState, k, pose, cap, cfg, leaf=None):
+    """All three feature clouds of keyframe k, transformed by ``pose``."""
+    pts = jnp.concatenate([ms.kf_corner[k], ms.kf_surf[k], ms.kf_outlier[k]], 0)
+    val = jnp.concatenate([ms.kf_corner_valid[k], ms.kf_surf_valid[k],
+                           ms.kf_outlier_valid[k]], 0)
+    moved = pts @ pose[:3, :3].T + pose[:3, 3]
+    if leaf is None:
+        return compact_masked(moved, val, cap)
+    return voxel_downsample(moved, val, leaf, cap)
+
+
+def detect_loop(ms: MappingState, cfg: PipelineConfig):
+    """Nearest keypose within radius and >30 s older (LM.cpp:909-943)."""
+    latest = ms.graph.count - 1
+    cur_t = ms.graph.poses[latest][:3, 3]
+    kp = ms.graph.poses[:, :3, 3]
+    idx = jnp.arange(cfg.max_keyframes)
+    act = (idx < latest) & (latest >= 0)
+    d2 = jnp.sum((kp - cur_t) ** 2, -1)
+    old_enough = (ms.kf_times[latest] - ms.kf_times) > cfg.loop_time_gap
+    elig = act & old_enough & (d2 < cfg.history_search_radius ** 2)
+    closest = jnp.argmin(jnp.where(elig, d2, 1e30)).astype(jnp.int32)
+    return elig.any(), closest, latest
+
+
+def loop_closure_step(ms: MappingState, cfg: PipelineConfig):
+    """performLoopClosure equivalent. Returns (new_state, closed?, fitness)."""
+    found, closest, latest = detect_loop(ms, cfg)
+
+    def attempt(ms):
+        pose_latest = ms.graph.poses[latest]
+        src, src_ok = _keyframe_cloud(ms, latest, pose_latest,
+                                      cfg.loop_latest_cap, cfg)
+
+        # history cloud: +-history_search_num keyframes around the candidate
+        span = 2 * cfg.history_search_num + 1
+        raw = closest + jnp.arange(-cfg.history_search_num,
+                                   cfg.history_search_num + 1, dtype=jnp.int32)
+        ok_j = (raw >= 0) & (raw < latest)
+        j = jnp.clip(raw, 0, cfg.max_keyframes - 1)
+        poses_j = ms.graph.poses[j]
+        pts = jnp.concatenate([
+            _transform_kf_clouds(poses_j, ms.kf_corner[j],
+                                 ms.kf_corner_valid[j] & ok_j[:, None]).reshape(-1, 3),
+            _transform_kf_clouds(poses_j, ms.kf_surf[j],
+                                 ms.kf_surf_valid[j] & ok_j[:, None]).reshape(-1, 3),
+            _transform_kf_clouds(poses_j, ms.kf_outlier[j],
+                                 ms.kf_outlier_valid[j] & ok_j[:, None]).reshape(-1, 3),
+        ], 0)
+        val = jnp.concatenate([
+            (ms.kf_corner_valid[j] & ok_j[:, None]).reshape(-1),
+            (ms.kf_surf_valid[j] & ok_j[:, None]).reshape(-1),
+            (ms.kf_outlier_valid[j] & ok_j[:, None]).reshape(-1)], 0)
+        tgt, tgt_ok = voxel_downsample(pts, val, cfg.history_leaf,
+                                       cfg.loop_hist_cap)
+
+        res = icp_point_to_point(src, src_ok, tgt, tgt_ok, cfg.icp_iters,
+                                 cfg.icp_max_corr_dist, cfg.icp_translation_eps)
+        accept = res.converged & (res.fitness < cfg.history_fitness_score)
+
+        def close(ms):
+            # t_correct = correction * pose_latest (LM.cpp:862-868)
+            T_corrected = res.transform @ pose_latest
+            rel = se3.inv_mat(T_corrected) @ ms.graph.poses[closest]
+            weight = 1.0 / jnp.maximum(res.fitness, 1e-3)
+            g = pg.add_loop_factor(ms.graph, latest, closest, rel, weight)
+            g = pg.optimize(g, cfg.pose_graph_chain_sigma,
+                            iters=cfg.pose_graph_gn_iters)
+            # correctPoses map2odom rebase (LM.cpp:725-726)
+            T_m2o = res.transform @ ms.T_map2odom
+            return ms._replace(graph=g, T_map2odom=T_m2o,
+                               T_map2laser=g.poses[latest])
+
+        ms = jax.lax.cond(accept, close, lambda m: m, ms)
+        return ms, accept, res.fitness
+
+    def skip(ms):
+        return ms, jnp.bool_(False), jnp.asarray(1e9, ms.T_map2odom.dtype)
+
+    do = found & (latest != ms.last_loop_kf) & (ms.graph.count > 1)
+    ms, closed, fitness = jax.lax.cond(do, attempt, skip, ms)
+    ms = ms._replace(last_loop_kf=jnp.where(do, latest, ms.last_loop_kf))
+    return ms, closed, fitness

@@ -1,0 +1,172 @@
+"""End-to-end SLAM pipeline: one jittable step for the whole system.
+
+The reference runs three OS processes connected by ROS pub/sub with queue
+depth 10 (SURVEY §1 L3/L5).  TPU-native, the entire frame -> pose dataflow —
+projection, segmentation, features, scan-to-scan odometry, scan-to-map
+mapping (every 2nd frame, LM.cpp:244-245), keyframing, loop closure — is a
+single pure function ``slam_step(state, frame) -> (state, pose)`` compiled
+once; serialization boundaries and queues disappear.
+
+``SlamPipeline`` is the host-facing driver: it feeds padded scans, collects
+trajectories, and exposes map export (the ``/save_map`` service equivalent,
+LM.cpp:1007-1055) and checkpointing (absent in the reference — SURVEY §5.4).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from ..ops.features import extract_features
+from ..ops import se3, deskew
+from .image_projection import image_projection
+from . import laser_odometry as lo
+from . import laser_mapping as lm
+
+
+class SlamState(NamedTuple):
+    odo: lo.OdometryState
+    mapping: lm.MappingState
+    frame: jnp.ndarray          # int32 frame counter
+    T_odom2laser: jnp.ndarray   # [4, 4] latest odometry pose
+    imu: deskew.ImuBuffer       # IMU integration buffer (used if cfg.use_imu)
+
+
+def init_state(cfg: PipelineConfig, dtype=jnp.float32) -> SlamState:
+    return SlamState(
+        odo=lo.init_state(cfg, dtype),
+        mapping=lm.init_state(cfg, dtype),
+        frame=jnp.int32(0),
+        T_odom2laser=jnp.eye(4, dtype=dtype),
+        imu=deskew.init_buffer(cfg.imu_queue_length, dtype),
+    )
+
+
+def slam_step(state: SlamState, points: jnp.ndarray, mask: jnp.ndarray,
+              time: jnp.ndarray, cfg: PipelineConfig):
+    """Process one raw scan. Returns (state, T_map2laser)."""
+    # stage 1 + features
+    seg = image_projection(points, mask, cfg)
+    if cfg.use_imu:  # static branch: de-skew the segmented cloud (LO.cpp:184)
+        pts_ds = deskew.deskew(seg.points, seg.cols, seg.valid, time,
+                               state.imu, cfg)
+        seg = seg._replace(points=pts_ds)
+    fc = extract_features(seg, cfg)
+
+    # stage 2: scan-to-scan odometry
+    odo, T_odom2laser = lo.odometry_step(state.odo, fc, cfg)
+
+    # stage 3: mapping on every 2nd frame (LM.cpp:244-245)
+    do_map = (state.frame % cfg.map_frame_decimation) == 0
+
+    def run_mapping(ms):
+        ms, _ = lm.mapping_step(
+            ms, T_odom2laser,
+            fc.less_sharp_pts, fc.less_sharp_valid,
+            fc.less_flat_pts, fc.less_flat_valid,
+            seg.outlier_points, seg.outlier_valid,
+            time, cfg)
+        return ms
+
+    mapping = jax.lax.cond(do_map, run_mapping, lambda m: m, state.mapping)
+
+    # loop closure attempt on a keyframe cadence (1 Hz thread equivalent)
+    if cfg.loop_closure_enabled:
+        do_loop = do_map & (mapping.graph.count > 1) & (
+            mapping.graph.count % cfg.loop_every_n_keyframes == 0)
+
+        def run_loop(ms):
+            ms, _, _ = lm.loop_closure_step(ms, cfg)
+            return ms
+
+        mapping = jax.lax.cond(do_loop, run_loop, lambda m: m, mapping)
+
+    T_map2laser = mapping.T_map2odom @ T_odom2laser
+    new_state = SlamState(odo=odo, mapping=mapping, frame=state.frame + 1,
+                          T_odom2laser=T_odom2laser, imu=state.imu)
+    return new_state, T_map2laser
+
+
+def scan_sequence(state: SlamState, points_seq, mask_seq, times, cfg):
+    """lax.scan the full pipeline over a batch of frames (bench path)."""
+    def body(st, inp):
+        p, m, t = inp
+        st, pose = slam_step(st, p, m, t, cfg)
+        return st, pose
+
+    return jax.lax.scan(body, state, (points_seq, mask_seq, times))
+
+
+class SlamPipeline:
+    """Host driver around the jitted step (stands in for the launch files)."""
+
+    def __init__(self, cfg: PipelineConfig, dtype=jnp.float32):
+        self.cfg = cfg
+        self._step = jax.jit(lambda st, p, m, t: slam_step(st, p, m, t, cfg))
+        self._imu_step = jax.jit(deskew.integrate_imu)
+        self.state = init_state(cfg, dtype)
+        self.poses = []
+        self.odom_poses = []
+        self._frame = 0
+
+    def add_imu(self, t: float, rpy, lin_acc):
+        """Feed one IMU sample (the /imu/data handler, LO.cpp:840-881)."""
+        buf = self._imu_step(self.state.imu, jnp.float32(t),
+                             jnp.asarray(rpy, jnp.float32),
+                             jnp.asarray(lin_acc, jnp.float32))
+        self.state = self.state._replace(imu=buf)
+
+    def process(self, points: np.ndarray, mask: np.ndarray,
+                time: Optional[float] = None) -> np.ndarray:
+        """Feed one scan; returns the map-frame pose [4, 4]."""
+        t = self._frame * self.cfg.scan_period if time is None else time
+        self.state, pose = self._step(
+            self.state, jnp.asarray(points), jnp.asarray(mask),
+            jnp.asarray(t, jnp.float32))
+        self._frame += 1
+        pose_np = np.asarray(pose)
+        self.poses.append(pose_np)
+        self.odom_poses.append(np.asarray(self.state.T_odom2laser))
+        return pose_np
+
+    def run(self, points_seq: np.ndarray, mask_seq: np.ndarray) -> np.ndarray:
+        for k in range(points_seq.shape[0]):
+            self.process(points_seq[k], mask_seq[k])
+        return np.stack(self.poses)
+
+    # ---- /save_map equivalent (LM.cpp:1007-1055) ----
+    def export_map(self):
+        """Assemble the global map from keyframes; returns dict of arrays."""
+        ms = self.state.mapping
+        n = int(ms.graph.count)
+        poses = np.asarray(ms.graph.poses)[:n]
+        out = {"keyposes": poses}
+        for name, pts, val in (
+            ("corner", np.asarray(ms.kf_corner), np.asarray(ms.kf_corner_valid)),
+            ("surf", np.asarray(ms.kf_surf), np.asarray(ms.kf_surf_valid)),
+            ("outlier", np.asarray(ms.kf_outlier), np.asarray(ms.kf_outlier_valid)),
+        ):
+            clouds = []
+            for k in range(n):
+                p = pts[k][val[k]]
+                clouds.append(p @ poses[k][:3, :3].T + poses[k][:3, 3])
+            out[name] = (np.concatenate(clouds, 0) if clouds
+                         else np.zeros((0, 3), np.float32))
+        return out
+
+    # ---- checkpoint/resume (new capability; reference has none) ----
+    def save_checkpoint(self, path: str):
+        flat, treedef = jax.tree_util.tree_flatten(self.state)
+        np.savez(path, *[np.asarray(x) for x in flat],
+                 frame=self._frame)
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path)
+        flat, treedef = jax.tree_util.tree_flatten(self.state)
+        arrays = [jnp.asarray(data[f"arr_{i}"]) for i in range(len(flat))]
+        self.state = jax.tree_util.tree_unflatten(treedef, arrays)
+        self._frame = int(data["frame"])

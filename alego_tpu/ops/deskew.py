@@ -1,0 +1,111 @@
+"""IMU integration + scan de-skew (C10's ``imuHandler``/``adjustDistortion``).
+
+The reference buffers IMU samples in ring arrays, does gravity compensation
+and world-frame velocity/shift integration on arrival
+(``/root/reference/src/LO.cpp:840-881``), and carries an (disabled at
+LO.cpp:184) per-point de-skew that rotates each return into the sweep-start
+frame (LO.cpp:636-805).  TPU-native version: the buffer is a fixed-size array
+pytree, integration is a pure update, and de-skew interpolates orientation /
+shift for *all* points at once via ``searchsorted`` + gather.
+
+Enabled with ``cfg.use_imu=True``; default off, matching the reference's
+effective behaviour.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .se3 import rpy_to_rot
+
+GRAVITY = 9.81
+
+
+class ImuBuffer(NamedTuple):
+    times: jnp.ndarray   # [Q]
+    rpy: jnp.ndarray     # [Q, 3]
+    velo: jnp.ndarray    # [Q, 3] world-frame velocity
+    shift: jnp.ndarray   # [Q, 3] world-frame position
+    count: jnp.ndarray   # int32 (ring not needed: monotonically appended)
+
+
+def init_buffer(capacity: int, dtype=jnp.float32) -> ImuBuffer:
+    # empty slots pad with +inf-like times so the array stays ascending for
+    # the searchsorted interpolation in _interp
+    return ImuBuffer(
+        times=jnp.full((capacity,), 1e18, dtype),
+        rpy=jnp.zeros((capacity, 3), dtype),
+        velo=jnp.zeros((capacity, 3), dtype),
+        shift=jnp.zeros((capacity, 3), dtype),
+        count=jnp.int32(0),
+    )
+
+
+def integrate_imu(buf: ImuBuffer, t, rpy, lin_acc) -> ImuBuffer:
+    """Append one sample: gravity-compensate in body frame (LO.cpp:847-849),
+    rotate to world, integrate velocity and shift (LO.cpp:869-880)."""
+    r, p = rpy[0], rpy[1]
+    acc = jnp.stack([
+        lin_acc[0] + GRAVITY * jnp.sin(p),
+        lin_acc[1] - GRAVITY * jnp.cos(p) * jnp.sin(r),
+        lin_acc[2] - GRAVITY * jnp.cos(p) * jnp.cos(r),
+    ])
+    acc_w = rpy_to_rot(rpy) @ acc
+
+    k = jnp.minimum(buf.count, buf.times.shape[0] - 1)
+    prev = jnp.maximum(k - 1, 0)
+    dt = t - buf.times[prev]
+    ok = (buf.count > 0) & (dt < 1.0) & (dt > 0)
+    velo = jnp.where(ok, buf.velo[prev] + acc_w * dt, 0.0)
+    shift = jnp.where(
+        ok, buf.shift[prev] + buf.velo[prev] * dt + 0.5 * acc_w * dt * dt, 0.0)
+    return ImuBuffer(
+        times=buf.times.at[k].set(t),
+        rpy=buf.rpy.at[k].set(rpy),
+        velo=buf.velo.at[k].set(velo),
+        shift=buf.shift.at[k].set(shift),
+        count=buf.count + 1,
+    )
+
+
+def _interp(buf: ImuBuffer, t):
+    """Linear interpolation of rpy/shift/velo at times t [N]."""
+    hi = jnp.clip(jnp.searchsorted(buf.times, t), 1, buf.times.shape[0] - 1)
+    lo = hi - 1
+    t0, t1 = buf.times[lo], buf.times[hi]
+    a = jnp.clip((t - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)[:, None]
+    rpy = buf.rpy[lo] * (1 - a) + buf.rpy[hi] * a
+    shift = buf.shift[lo] * (1 - a) + buf.shift[hi] * a
+    velo = buf.velo[lo] * (1 - a) + buf.velo[hi] * a
+    return rpy, shift, velo
+
+
+def deskew(points, cols, valid, scan_time, buf: ImuBuffer, cfg):
+    """Rotate every return into the sweep-start frame (LO.cpp:663-733).
+
+    points [..., 3], cols [...] column index (proxy for the firing time:
+    rel_t = col / H * scan_period), valid mask. No-op when the buffer has
+    fewer than 2 samples covering the sweep.
+    """
+    shape = points.shape[:-1]
+    pts = points.reshape(-1, 3)
+    rel_t = (cols.reshape(-1).astype(pts.dtype) / cfg.horizon_scan
+             * cfg.scan_period)
+    t_abs = scan_time + rel_t
+
+    rpy_c, shift_c, _ = _interp(buf, t_abs)
+    rpy_s, shift_s, velo_s = _interp(buf, jnp.full_like(t_abs, scan_time))
+    R_c = rpy_to_rot(rpy_c)
+    R_s = rpy_to_rot(rpy_s)
+
+    shift_from_start = shift_c - shift_s - velo_s * rel_t[:, None]
+    moved = jnp.einsum("nij,nj->ni", R_c, pts) + shift_from_start
+    out = jnp.einsum("nji,nj->ni", R_s, moved)  # R_start^T applied
+
+    have_imu = buf.count >= 2
+    ok = have_imu & valid.reshape(-1)
+    out = jnp.where(ok[:, None], out, pts)
+    return out.reshape(*shape, 3)

@@ -148,8 +148,9 @@ def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
     th = theta[..., None]
     K = hat(axis)
     I = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
-    R = I + jnp.sin(th) * K + (1 - jnp.cos(th)) * (K @ K)
-    # Taylor fallback for tiny angles
+    # 1 - cos t = 2 sin^2(t/2): stable in f32 for small t
+    one_minus_cos = 2.0 * jnp.sin(th / 2) ** 2
+    R = I + jnp.sin(th) * K + one_minus_cos * (K @ K)
     small = (theta[..., None] < 1e-6)
     R_small = I + hat(phi)
     return jnp.where(small, R_small, R)
@@ -172,8 +173,10 @@ def _so3_left_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
     th = jnp.maximum(theta, 1e-9)[..., None, None]
     K = hat(phi / jnp.maximum(theta, 1e-9)[..., None])
     I = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
-    J = I + ((1 - jnp.cos(th)) / th) * K + ((th - jnp.sin(th)) / th) * (K @ K)
-    small = theta[..., None, None] < 1e-6
+    one_minus_cos = 2.0 * jnp.sin(th / 2) ** 2          # stable 1 - cos
+    J = I + (one_minus_cos / th) * K + ((th - jnp.sin(th)) / th) * (K @ K)
+    # f32: (th - sin th) cancels catastrophically below ~1e-3
+    small = theta[..., None, None] < 1e-3
     return jnp.where(small, I + 0.5 * hat(phi), J)
 
 
@@ -193,16 +196,18 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
 def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     """[..., 4, 4] -> [..., 6] twist [rho, phi]."""
     phi = so3_log(T[..., :3, :3])
-    # V^-1 via closed form
+    # V^-1 via closed form, with f32-stable trig: 1-cos = 2 sin^2(t/2).
     theta = jnp.linalg.norm(phi, axis=-1)
     K = hat(phi)
     I = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), K.shape)
     th = jnp.maximum(theta, 1e-9)[..., None, None]
     A = jnp.sin(th) / th
-    B = (1 - jnp.cos(th)) / (th * th)
-    coef = (1 - A / (2 * B)) / (th * th)
+    B = 2.0 * jnp.sin(th / 2) ** 2 / (th * th)
+    coef = (1 - A / (2 * jnp.maximum(B, 1e-12))) / (th * th)
+    # series limit: coef -> 1/12 as theta -> 0; A/(2B) loses precision below
+    # ~1e-2 in f32, so switch early (K is O(theta), error O(theta^2/12))
+    coef = jnp.where(th < 1e-2, 1.0 / 12.0, coef)
     Vinv = I - 0.5 * K + coef * (K @ K)
-    Vinv = jnp.where(theta[..., None, None] < 1e-6, I - 0.5 * K, Vinv)
     rho = jnp.einsum("...ij,...j->...i", Vinv, T[..., :3, 3])
     return jnp.concatenate([rho, phi], -1)
 

@@ -23,7 +23,16 @@ def voxel_key(points: jnp.ndarray, leaf: float, extent: float) -> jnp.ndarray:
     side = int(2 * extent / leaf) + 2
     assert side ** 3 < 2 ** 31, "voxel grid too fine for int32 keys"
     q = jnp.clip(jnp.floor(points / leaf).astype(jnp.int32) + side // 2, 0, side - 1)
-    return (q[..., 0] * side + q[..., 1]) * side + q[..., 2]
+    key = (q[..., 0] * side + q[..., 1]) * side + q[..., 2]
+    # Bijective bit-mix (splitmix-style): equal cells stay equal, distinct
+    # cells stay distinct, but sort order becomes spatially uniform — so when
+    # the fixed output capacity overflows, dropped voxels are scattered across
+    # the map instead of truncating one contiguous spatial region.
+    u = key.astype(jnp.uint32)
+    u = (u ^ (u >> 16)) * jnp.uint32(0x45d9f3b)
+    u = (u ^ (u >> 16)) * jnp.uint32(0x45d9f3b)
+    u = u ^ (u >> 16)
+    return (u >> 1).astype(jnp.int32)  # keep below int32 max sentinel
 
 
 def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray, leaf: float,

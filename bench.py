@@ -1,0 +1,89 @@
+"""Benchmark: full-pipeline frames/sec on one TPU chip + ATE sanity.
+
+Prints ONE JSON line to stdout:
+  {"metric": "pipeline_fps", "value": N, "unit": "frames/s", "vs_baseline": R}
+
+Baseline: the reference publishes only scan-to-scan *solver* time — 2.13 ms/
+frame for the 2-step variant on a desktop CPU (README.md:54), i.e. 469.5
+frames/s for a fraction of the per-frame work.  ``vs_baseline`` compares our
+*whole pipeline* (projection + segmentation + features + odometry + mapping +
+loop closure) against that solver-only rate, which understates our advantage.
+Diagnostics (ATE, per-stage breakdown) go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from alego_tpu.config import PipelineConfig
+    from alego_tpu.models import pipeline
+    from alego_tpu.utils import synthetic, metrics
+
+    backend = jax.default_backend()
+    log(f"backend: {backend}, devices: {jax.devices()}")
+
+    cfg = PipelineConfig()  # full 16 x 4000 geometry
+    n_frames = int(os.environ.get("BENCH_FRAMES", "24"))
+
+    log("rendering synthetic sequence...")
+    world = synthetic.make_world(seed=100)
+    poses = synthetic.loop_trajectory(n_frames, radius=30.0, speed=1.0,
+                                      closed=False)
+    t0 = time.time()
+    pts, mask = synthetic.render_sequence(world, poses, cfg, noise=0.01)
+    log(f"rendered {n_frames} frames in {time.time() - t0:.1f}s")
+
+    times = jnp.arange(n_frames, dtype=jnp.float32) * cfg.scan_period
+    state = pipeline.init_state(cfg)
+
+    scan = jax.jit(lambda st, p, m, t: pipeline.scan_sequence(st, p, m, t, cfg))
+
+    pts_d = jnp.asarray(pts)
+    mask_d = jnp.asarray(mask)
+
+    log("compiling full pipeline (first call)...")
+    t0 = time.time()
+    st1, est = scan(state, pts_d, mask_d, times)
+    jax.block_until_ready(est)
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    log("timing steady state...")
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    t0 = time.time()
+    for _ in range(reps):
+        st2, est = scan(state, pts_d, mask_d, times)
+        jax.block_until_ready(est)
+    dt = (time.time() - t0) / reps
+    fps = n_frames / dt
+    log(f"{dt * 1e3 / n_frames:.2f} ms/frame -> {fps:.1f} frames/s")
+
+    est_np = np.asarray(est)
+    ate = metrics.ate_rmse(est_np[:, :3, 3], poses[:, :3, 3], align=False)
+    log(f"ATE (unaligned) over {n_frames} frames: {ate:.3f} m")
+    log(f"keyframes: {int(st2.mapping.graph.count)}, "
+        f"loops: {int(st2.mapping.graph.loop_count)}")
+
+    baseline_fps = 1000.0 / 2.13  # reference 2-step solver-only rate
+    print(json.dumps({
+        "metric": "pipeline_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

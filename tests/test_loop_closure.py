@@ -1,0 +1,49 @@
+import numpy as np
+import jax.numpy as jnp
+
+from alego_tpu.config import tiny_config
+from alego_tpu.models.pipeline import SlamPipeline
+from alego_tpu.models import laser_mapping as lm
+from alego_tpu.utils import synthetic, metrics
+
+
+def test_closed_loop_fires_and_corrects():
+    """Full pipeline on a closed loop: loop closure detected and applied
+    (BASELINE config 4)."""
+    cfg = tiny_config(icp_iters=30).replace(
+        loop_time_gap=3.0,            # synthetic loop is short in sim-time
+        history_search_num=6,         # keep history window clear of the
+                                      # latest keyframes on this short loop
+    )
+    world = synthetic.make_world(seed=41)
+    n = 40
+    poses = synthetic.loop_trajectory(n, radius=8.0, closed=True)
+    pts, mask = synthetic.render_sequence(world, poses, cfg, noise=0.01)
+
+    pipe = SlamPipeline(cfg)
+    est = pipe.run(pts, mask)
+
+    ms = pipe.state.mapping
+    n_loops = int(ms.graph.loop_count)
+    assert n_loops >= 1, "no loop closure fired on a closed trajectory"
+
+    ate = metrics.ate_rmse(est[:, :3, 3], poses[:, :3, 3], align=False)
+    assert ate < 1.0, f"loop-closed ATE {ate}"
+
+
+def test_loop_detection_requires_time_gap():
+    cfg = tiny_config()
+    ms = lm.init_state(cfg)
+    # two keyframes close in space but also close in time -> no loop
+    import jax.numpy as jnp
+    from alego_tpu.models import pose_graph as pg
+    g = ms.graph
+    g = pg.add_keyframe(g, jnp.eye(4))
+    g = pg.add_keyframe(g, jnp.eye(4).at[0, 3].set(2.0))
+    ms = ms._replace(graph=g, kf_times=ms.kf_times.at[0].set(0.0).at[1].set(1.0))
+    found, closest, latest = lm.detect_loop(ms, cfg)
+    assert not bool(found)
+    # now age the first keyframe beyond the gap
+    ms2 = ms._replace(kf_times=ms.kf_times.at[1].set(100.0))
+    found2, closest2, _ = lm.detect_loop(ms2, cfg)
+    assert bool(found2) and int(closest2) == 0

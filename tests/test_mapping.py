@@ -1,0 +1,71 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from alego_tpu.config import tiny_config
+from alego_tpu.models.pipeline import SlamPipeline
+from alego_tpu.utils import synthetic, metrics
+
+
+def _cfg():
+    # fewer ICP iters to keep CPU tests quick
+    return tiny_config(icp_iters=30)
+
+
+def test_full_pipeline_short_arc():
+    """Odometry + mapping, no loop: ATE better than or close to odometry-only."""
+    cfg = _cfg().replace(loop_closure_enabled=False)
+    world = synthetic.make_world(seed=31)
+    n = 16
+    poses = synthetic.loop_trajectory(n, radius=30.0, speed=0.8, closed=False)
+    pts, mask = synthetic.render_sequence(world, poses, cfg, noise=0.01)
+
+    pipe = SlamPipeline(cfg)
+    est = pipe.run(pts, mask)
+
+    ate = metrics.ate_rmse(est[:, :3, 3], poses[:, :3, 3], align=False)
+    assert ate < 0.5, f"full-pipeline ATE {ate}"
+    # keyframes were created (0.8 m/frame, gate at 1 m)
+    assert int(pipe.state.mapping.graph.count) >= n // 3
+
+
+def test_mapping_improves_on_odometry():
+    cfg = _cfg().replace(loop_closure_enabled=False)
+    world = synthetic.make_world(seed=32)
+    n = 20
+    poses = synthetic.loop_trajectory(n, radius=25.0, speed=1.2, closed=False)
+    pts, mask = synthetic.render_sequence(world, poses, cfg, noise=0.02)
+
+    pipe = SlamPipeline(cfg)
+    est = pipe.run(pts, mask)
+    odom = np.stack(pipe.odom_poses)
+
+    ate_map = metrics.ate_rmse(est[:, :3, 3], poses[:, :3, 3], align=False)
+    ate_odom = metrics.ate_rmse(odom[:, :3, 3], poses[:, :3, 3], align=False)
+    # mapping should not be (much) worse than raw odometry
+    assert ate_map < ate_odom * 1.5 + 0.05, (ate_map, ate_odom)
+
+
+def test_export_map_and_checkpoint(tmp_path):
+    cfg = _cfg().replace(loop_closure_enabled=False)
+    world = synthetic.make_world(seed=33)
+    poses = synthetic.loop_trajectory(8, radius=25.0, speed=1.2, closed=False)
+    pts, mask = synthetic.render_sequence(world, poses, cfg)
+
+    pipe = SlamPipeline(cfg)
+    pipe.run(pts, mask)
+
+    m = pipe.export_map()
+    assert m["keyposes"].shape[0] >= 2
+    assert m["surf"].shape[0] > 100
+    assert np.isfinite(m["surf"]).all()
+
+    ck = str(tmp_path / "state.npz")
+    pipe.save_checkpoint(ck)
+    pipe2 = SlamPipeline(cfg)
+    pipe2.load_checkpoint(ck)
+    assert int(pipe2.state.frame) == int(pipe.state.frame)
+    np.testing.assert_allclose(np.asarray(pipe2.state.mapping.T_map2odom),
+                               np.asarray(pipe.state.mapping.T_map2odom))
+    # resumed pipeline keeps processing
+    pipe2.process(pts[-1], mask[-1])

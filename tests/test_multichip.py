@@ -1,0 +1,90 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from alego_tpu.config import tiny_config
+from alego_tpu.parallel.multichip import (
+    make_mesh, make_sharded_frontend, make_distributed_pose_graph_solver)
+from alego_tpu.models import pose_graph as pg
+from alego_tpu.ops import se3
+from alego_tpu.utils import synthetic
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+@needs_8
+def test_sharded_frontend_matches_single_device():
+    cfg = tiny_config(horizon_scan=360, max_raw_points=4096, ring_width=256,
+                      max_less_flat=1024, max_outlier=256)
+    world = synthetic.make_world(seed=51)
+    poses = synthetic.loop_trajectory(8, radius=20.0, speed=1.0, closed=False)
+    pts, mask = synthetic.render_sequence(world, poses, cfg)
+
+    mesh = make_mesh(8)
+    fe = make_sharded_frontend(cfg, mesh)
+    sh = NamedSharding(mesh, P("data"))
+    fc = fe(jax.device_put(jnp.asarray(pts), sh),
+            jax.device_put(jnp.asarray(mask), sh))
+
+    # single-device reference
+    from alego_tpu.models.image_projection import image_projection
+    from alego_tpu.ops.features import extract_features
+    fc0 = extract_features(image_projection(jnp.asarray(pts[3]),
+                                            jnp.asarray(mask[3]), cfg), cfg)
+    np.testing.assert_allclose(np.asarray(fc.less_flat_pts[3]),
+                               np.asarray(fc0.less_flat_pts), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(fc.sharp_valid[3]),
+                                  np.asarray(fc0.sharp_valid))
+
+
+@needs_8
+def test_distributed_pose_graph_matches_dense():
+    rng = np.random.default_rng(1)
+    N = 32
+    mesh = make_mesh(8)
+
+    # noisy chain
+    chain = [np.eye(4, dtype=np.float32)]
+    abs_poses = [np.eye(4, dtype=np.float32)]
+    for k in range(1, N):
+        p = rng.uniform(-0.05, 0.05, 6).astype(np.float32)
+        p[0] += 1.0
+        Z = np.asarray(se3.params_to_mat(jnp.asarray(p)))
+        chain.append(Z)
+        abs_poses.append((abs_poses[-1] @ Z).astype(np.float32))
+    chain = np.stack(chain)
+    # perturb the pose estimates away from the chain solution
+    noisy = np.stack(abs_poses).copy()
+    for k in range(1, N):
+        d = rng.uniform(-0.05, 0.05, 6).astype(np.float32)
+        noisy[k] = noisy[k] @ np.asarray(se3.se3_exp(jnp.asarray(d)))
+
+    sigma = (1e-4,) * 6
+    solver = make_distributed_pose_graph_solver(mesh, N, sigma, iters=5)
+    sh = NamedSharding(mesh, P("data"))
+    out = solver(jnp.asarray(noisy), jax.device_put(jnp.asarray(chain), sh),
+                 jnp.ones(N, bool))
+    out = np.asarray(out)
+
+    # solution should recover the chain-consistent trajectory
+    np.testing.assert_allclose(out, np.stack(abs_poses), atol=2e-2)
+
+    # and agree with the single-device dense solver
+    g = pg.init_graph(N, 4)
+    for k in range(N):
+        g = pg.add_keyframe(g, jnp.asarray(noisy[k]))
+    g = g._replace(chain_rel=jnp.asarray(chain))
+    g2 = pg.optimize(g, sigma, iters=5)
+    np.testing.assert_allclose(out, np.asarray(g2.poses)[:N], atol=2e-2)
+
+
+@needs_8
+def test_dryrun_multichip_entry():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
