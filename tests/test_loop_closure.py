@@ -12,8 +12,11 @@ def test_closed_loop_fires_and_corrects():
     (BASELINE config 4)."""
     cfg = tiny_config(icp_iters=30).replace(
         loop_time_gap=3.0,            # synthetic loop is short in sim-time
-        history_search_num=6,         # keep history window clear of the
-                                      # latest keyframes on this short loop
+        history_search_num=10,        # window wide for coverage yet clear of
+                                      # the latest keyframes on this short loop
+        history_fitness_score=0.5,    # tiny-config scans are 4.4x sparser than
+                                      # the real sensor; mean-sq fitness sits
+                                      # higher at the same alignment quality
     )
     world = synthetic.make_world(seed=41)
     n = 40
