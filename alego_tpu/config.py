@@ -59,6 +59,11 @@ class PipelineConfig:
     max_flat_per_sector: int = 4    # LO.cpp:319
     suppress_neighbors: int = 5     # LO.cpp:282-305
     suppress_col_gap: int = 10      # LO.cpp:285
+    # True: pick in all 6 sectors simultaneously (6x fewer sequential steps;
+    # deviates from the reference's strict left-to-right sector order only
+    # when picks land within 5 columns of a sector boundary). False: exact
+    # sequential semantics.
+    parallel_sectors: bool = True
     occl_depth_jump: float = 0.5    # LO.cpp:209,216
     occl_col_gap: int = 10          # LO.cpp:206
     parallel_rel_diff: float = 0.02 # LO.cpp:224

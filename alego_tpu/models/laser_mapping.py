@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..config import PipelineConfig
 from ..ops import se3
 from ..ops.knn import knn
-from ..ops.voxel import voxel_downsample, compact_masked
+from ..ops.voxel import voxel_downsample, voxel_downsample_exact, compact_masked
 from ..ops.eig3 import pca_line_fit, plane_fit
 from ..ops.residuals import point_to_line, point_to_plane_fitted
 from ..ops.gauss_newton import solve_gn, FULL_DIMS
@@ -48,6 +48,13 @@ class MappingState(NamedTuple):
     T_map2odom: jnp.ndarray      # [4, 4]
     T_map2laser: jnp.ndarray     # [4, 4]
     last_loop_kf: jnp.ndarray    # int32: keyframe index of last loop attempt
+    # cached voxel-merged local map (the reference caches transformed
+    # keyframe clouds in its deque, LM.cpp:361-388); dirty on keyframe/loop
+    map_corner: jnp.ndarray      # [map_corner_cap, 3]
+    map_corner_valid: jnp.ndarray
+    map_surf: jnp.ndarray        # [map_surf_cap, 3]
+    map_surf_valid: jnp.ndarray
+    map_dirty: jnp.ndarray       # bool
 
 
 def init_state(cfg: PipelineConfig, dtype=jnp.float32) -> MappingState:
@@ -64,6 +71,11 @@ def init_state(cfg: PipelineConfig, dtype=jnp.float32) -> MappingState:
         T_map2odom=jnp.eye(4, dtype=dtype),
         T_map2laser=jnp.eye(4, dtype=dtype),
         last_loop_kf=jnp.int32(-1),
+        map_corner=jnp.zeros((cfg.map_corner_cap, 3), dtype),
+        map_corner_valid=jnp.zeros(cfg.map_corner_cap, bool),
+        map_surf=jnp.zeros((cfg.map_surf_cap, 3), dtype),
+        map_surf_valid=jnp.zeros(cfg.map_surf_cap, bool),
+        map_dirty=jnp.bool_(False),
     )
 
 
@@ -74,24 +86,26 @@ def _transform_kf_clouds(poses, pts, valid):
 
 
 def _build_local_map(ms: MappingState, cfg: PipelineConfig):
-    """Last-50-keyframes local map, voxel-merged (LM.cpp:351-468)."""
+    """Last-50-keyframes local map, voxel-merged (LM.cpp:351-468).
+
+    The recent-keyframe window is contiguous, so clouds come out via
+    ``dynamic_slice`` (fast) rather than row gathers (slow on TPU)."""
     K = cfg.recent_keyframe_search_num
     count = ms.graph.count
-    raw_idx = jnp.arange(K, dtype=jnp.int32) + count - K
-    kf_ok = (raw_idx >= 0) & (count > 0)
-    idx = jnp.clip(raw_idx, 0, cfg.max_keyframes - 1)
+    start = jnp.clip(count - K, 0, cfg.max_keyframes - K)
+    raw_idx = jnp.arange(K, dtype=jnp.int32) + start
+    kf_ok = (raw_idx < count) & (count > 0)
 
-    poses = ms.graph.poses[idx]
-    c_pts = _transform_kf_clouds(poses, ms.kf_corner[idx],
-                                 ms.kf_corner_valid[idx] & kf_ok[:, None])
-    s_pts = _transform_kf_clouds(poses, ms.kf_surf[idx],
-                                 ms.kf_surf_valid[idx] & kf_ok[:, None])
-    o_pts = _transform_kf_clouds(poses, ms.kf_outlier[idx],
-                                 ms.kf_outlier_valid[idx] & kf_ok[:, None])
+    def slc(a):
+        return jax.lax.dynamic_slice_in_dim(a, start, K, axis=0)
 
-    c_valid = ms.kf_corner_valid[idx] & kf_ok[:, None]
-    s_valid = ms.kf_surf_valid[idx] & kf_ok[:, None]
-    o_valid = ms.kf_outlier_valid[idx] & kf_ok[:, None]
+    poses = slc(ms.graph.poses)
+    c_valid = slc(ms.kf_corner_valid) & kf_ok[:, None]
+    s_valid = slc(ms.kf_surf_valid) & kf_ok[:, None]
+    o_valid = slc(ms.kf_outlier_valid) & kf_ok[:, None]
+    c_pts = _transform_kf_clouds(poses, slc(ms.kf_corner), c_valid)
+    s_pts = _transform_kf_clouds(poses, slc(ms.kf_surf), s_valid)
+    o_pts = _transform_kf_clouds(poses, slc(ms.kf_outlier), o_valid)
 
     map_corner, map_corner_valid = voxel_downsample(
         c_pts.reshape(-1, 3), c_valid.reshape(-1), cfg.corner_leaf,
@@ -107,16 +121,16 @@ def _build_local_map(ms: MappingState, cfg: PipelineConfig):
 def _downsample_scan(corner_pts, corner_valid, surf_pts, surf_valid,
                      outlier_pts, outlier_valid, cfg: PipelineConfig):
     """downsampleCurrentScan (LM.cpp:470-491)."""
-    c_ds, c_ok = voxel_downsample(corner_pts, corner_valid, cfg.corner_leaf,
-                                  cfg.kf_corner_cap)
-    s_ds, s_ok = voxel_downsample(surf_pts, surf_valid, cfg.surf_leaf,
-                                  cfg.kf_surf_cap)
-    o_ds, o_ok = voxel_downsample(outlier_pts, outlier_valid, cfg.outlier_leaf,
-                                  cfg.kf_outlier_cap)
+    c_ds, c_ok = voxel_downsample_exact(corner_pts, corner_valid,
+                                        cfg.corner_leaf, cfg.kf_corner_cap)
+    s_ds, s_ok = voxel_downsample_exact(surf_pts, surf_valid, cfg.surf_leaf,
+                                        cfg.kf_surf_cap)
+    o_ds, o_ok = voxel_downsample_exact(outlier_pts, outlier_valid,
+                                        cfg.outlier_leaf, cfg.kf_outlier_cap)
     total = jnp.concatenate([s_ds, o_ds], 0)
     total_ok = jnp.concatenate([s_ok, o_ok], 0)
-    st_ds, st_ok = voxel_downsample(total, total_ok, cfg.surf_leaf,
-                                    cfg.kf_surf_cap + cfg.kf_outlier_cap)
+    st_ds, st_ok = voxel_downsample_exact(total, total_ok, cfg.surf_leaf,
+                                          cfg.kf_surf_cap + cfg.kf_outlier_cap)
     return c_ds, c_ok, s_ds, s_ok, o_ds, o_ok, st_ds, st_ok
 
 
@@ -173,7 +187,15 @@ def mapping_step(ms: MappingState, T_odom2laser: jnp.ndarray,
     # transformAssociateToMap (LM.cpp:333-337)
     T_pred = ms.T_map2odom @ T_odom2laser
 
-    map_c, map_c_ok, map_s, map_s_ok = _build_local_map(ms, cfg)
+    def rebuild(ms):
+        mc, mco, msf, msfo = _build_local_map(ms, cfg)
+        return ms._replace(map_corner=mc, map_corner_valid=mco,
+                           map_surf=msf, map_surf_valid=msfo,
+                           map_dirty=jnp.bool_(False))
+
+    ms = jax.lax.cond(ms.map_dirty, rebuild, lambda m: m, ms)
+    map_c, map_c_ok = ms.map_corner, ms.map_corner_valid
+    map_s, map_s_ok = ms.map_surf, ms.map_surf_valid
     (c_ds, c_ok, s_ds, s_ok, o_ds, o_ok, st_ds, st_ok) = _downsample_scan(
         corner_pts, corner_valid, surf_pts, surf_valid,
         outlier_pts, outlier_valid, cfg)
@@ -204,6 +226,7 @@ def mapping_step(ms: MappingState, T_odom2laser: jnp.ndarray,
             kf_surf_valid=ms.kf_surf_valid.at[k].set(s_ok),
             kf_outlier=ms.kf_outlier.at[k].set(o_ds),
             kf_outlier_valid=ms.kf_outlier_valid.at[k].set(o_ok),
+            map_dirty=jnp.bool_(True),
         )
 
     ms = jax.lax.cond(is_kf, save_kf, lambda m: m, ms)
@@ -253,24 +276,28 @@ def loop_closure_step(ms: MappingState, cfg: PipelineConfig):
                                       cfg.loop_latest_cap, cfg)
 
         # history cloud: +-history_search_num keyframes around the candidate
+        # (contiguous window -> dynamic_slice, not gather)
         span = 2 * cfg.history_search_num + 1
-        raw = closest + jnp.arange(-cfg.history_search_num,
-                                   cfg.history_search_num + 1, dtype=jnp.int32)
-        ok_j = (raw >= 0) & (raw < latest)
-        j = jnp.clip(raw, 0, cfg.max_keyframes - 1)
-        poses_j = ms.graph.poses[j]
+        start = jnp.clip(closest - cfg.history_search_num, 0,
+                         max(cfg.max_keyframes - span, 0))
+        rows = start + jnp.arange(span, dtype=jnp.int32)
+        ok_j = ((jnp.abs(rows - closest) <= cfg.history_search_num)
+                & (rows >= 0) & (rows < latest))
+
+        def slc(a):
+            return jax.lax.dynamic_slice_in_dim(a, start, span, axis=0)
+
+        poses_j = slc(ms.graph.poses)
+        cv = slc(ms.kf_corner_valid) & ok_j[:, None]
+        sv = slc(ms.kf_surf_valid) & ok_j[:, None]
+        ov = slc(ms.kf_outlier_valid) & ok_j[:, None]
         pts = jnp.concatenate([
-            _transform_kf_clouds(poses_j, ms.kf_corner[j],
-                                 ms.kf_corner_valid[j] & ok_j[:, None]).reshape(-1, 3),
-            _transform_kf_clouds(poses_j, ms.kf_surf[j],
-                                 ms.kf_surf_valid[j] & ok_j[:, None]).reshape(-1, 3),
-            _transform_kf_clouds(poses_j, ms.kf_outlier[j],
-                                 ms.kf_outlier_valid[j] & ok_j[:, None]).reshape(-1, 3),
+            _transform_kf_clouds(poses_j, slc(ms.kf_corner), cv).reshape(-1, 3),
+            _transform_kf_clouds(poses_j, slc(ms.kf_surf), sv).reshape(-1, 3),
+            _transform_kf_clouds(poses_j, slc(ms.kf_outlier), ov).reshape(-1, 3),
         ], 0)
-        val = jnp.concatenate([
-            (ms.kf_corner_valid[j] & ok_j[:, None]).reshape(-1),
-            (ms.kf_surf_valid[j] & ok_j[:, None]).reshape(-1),
-            (ms.kf_outlier_valid[j] & ok_j[:, None]).reshape(-1)], 0)
+        val = jnp.concatenate([cv.reshape(-1), sv.reshape(-1),
+                               ov.reshape(-1)], 0)
         tgt, tgt_ok = voxel_downsample(pts, val, cfg.history_leaf,
                                        cfg.loop_hist_cap)
 
@@ -286,10 +313,12 @@ def loop_closure_step(ms: MappingState, cfg: PipelineConfig):
             g = pg.add_loop_factor(ms.graph, latest, closest, rel, weight)
             g = pg.optimize(g, cfg.pose_graph_chain_sigma,
                             iters=cfg.pose_graph_gn_iters)
-            # correctPoses map2odom rebase (LM.cpp:725-726)
+            # correctPoses map2odom rebase (LM.cpp:725-726); keyframe poses
+            # moved -> cached local map is stale
             T_m2o = res.transform @ ms.T_map2odom
             return ms._replace(graph=g, T_map2odom=T_m2o,
-                               T_map2laser=g.poses[latest])
+                               T_map2laser=g.poses[latest],
+                               map_dirty=jnp.bool_(True))
 
         ms = jax.lax.cond(accept, close, lambda m: m, ms)
         return ms, accept, res.fitness

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..config import PipelineConfig
 from .segmentation import SegmentedScan
-from .voxel import voxel_downsample, compact_masked
+from .voxel import voxel_downsample_exact, compact_masked
 
 NEG = -1e30
 POS = 1e30
@@ -160,12 +160,109 @@ def _pick_ring(curv, cols, ground, picked0, in_window, count, cfg: PipelineConfi
     return label
 
 
+def _pick_ring_parallel(curv, cols, ground, picked0, in_window, count,
+                        cfg: PipelineConfig):
+    """All 6 sectors pick simultaneously each step (lane-parallel variant).
+
+    Equivalent to :func:`_pick_ring` except that within one iteration every
+    sector takes its best eligible point at once; the reference's strict
+    sector order only differs when two sectors' picks land within the 5-column
+    suppression radius of each other in the same step — a boundary-local,
+    sub-percent effect — while cutting sequential steps 6x.
+    """
+    W = curv.shape[0]
+    S = cfg.n_sectors
+    ns = cfg.suppress_neighbors
+    idxs = jnp.arange(W, dtype=jnp.int32)
+    j = jnp.arange(S, dtype=jnp.int32)
+    diff = count - 11
+    sp = 5 + j * diff // S
+    ep = 5 + (j + 1) * diff // S - 1
+    sector_ok = (sp < ep) & (diff > 0)
+    in_sector = ((idxs[None, :] >= sp[:, None]) & (idxs[None, :] <= ep[:, None])
+                 & sector_ok[:, None] & in_window[None, :])       # [S, W]
+
+    label = jnp.zeros(W, jnp.int32)
+    picked = picked0 | ~in_window
+
+    # Precompute col-gap run masks once: Gf[l][i] == all of the l column gaps
+    # starting at i are <= 10, i.e. position i+l is reachable from a pick at
+    # i (and symmetrically i is reachable from a pick at i+l).  Turns the
+    # per-pick dynamic-slice windows into pure comparisons (TPU-fast).
+    gap_ok = jnp.concatenate(
+        [jnp.abs(cols[1:] - cols[:-1]) <= cfg.suppress_col_gap,
+         jnp.zeros((1,), bool)])
+    Gf = []  # Gf[l-1][i] = all gap_ok[i .. i+l-1]
+    for l in range(1, ns + 1):
+        shifted = jnp.roll(gap_ok, -(l - 1))
+        if l > 1:
+            shifted = shifted.at[W - (l - 1):].set(False)
+        Gf.append((Gf[-1] if Gf else jnp.ones(W, bool)) & shifted)
+
+    def suppression(kj, do):
+        """[S] picks -> OR of their gap-limited +-5 windows, via equality."""
+        m = jnp.zeros((kj.shape[0], W), bool)
+        for l in range(1, ns + 1):
+            gf_at_k = Gf[l - 1][kj]                       # [S] tiny gather
+            m = m | ((idxs[None, :] == (kj + l)[:, None]) & gf_at_k[:, None])
+            m = m | ((idxs[None, :] == (kj - l)[:, None]) & Gf[l - 1][None, :])
+        return jnp.any(m & do[:, None], axis=0)
+
+    def picks_mask(kj, do):
+        return jnp.any((idxs[None, :] == kj[:, None]) & do[:, None], axis=0)
+
+    corner_ok = (curv > cfg.edge_curv_thresh) & ~ground
+
+    def corner_body(_, st):
+        label, picked, n, stopped = st
+        elig = in_sector & (corner_ok & ~picked)[None, :]
+        has = elig.any(axis=1) & ~stopped
+        kj = jnp.argmax(jnp.where(elig, curv[None, :], NEG), axis=1).astype(jnp.int32)
+        n_new = n + has.astype(jnp.int32)
+        lab_val = jnp.where(n_new <= cfg.max_sharp_per_sector, 2,
+                            jnp.where(n_new <= cfg.max_less_sharp_per_sector, 1, 0))
+        overflow = n_new > cfg.max_less_sharp_per_sector
+        do_label = has & ~overflow
+        upd = jnp.sum(((idxs[None, :] == kj[:, None]) & do_label[:, None])
+                      * lab_val[:, None], axis=0)          # sectors disjoint
+        label = jnp.where(upd > 0, upd, label)
+        picked = picked | picks_mask(kj, has)
+        picked = picked | suppression(kj, do_label)
+        stopped = stopped | (has & overflow)
+        return label, picked, n_new, stopped
+
+    n_corner_steps = cfg.max_less_sharp_per_sector + 1
+    label, picked, _, _ = jax.lax.fori_loop(
+        0, n_corner_steps, corner_body,
+        (label, picked, jnp.zeros(S, jnp.int32), jnp.zeros(S, bool)))
+
+    flat_ok = (curv < cfg.edge_curv_thresh) & ground
+
+    def flat_body(_, st):
+        label, picked, n = st
+        elig = in_sector & (flat_ok & ~picked)[None, :]
+        has = elig.any(axis=1)
+        kj = jnp.argmin(jnp.where(elig, curv[None, :], POS), axis=1).astype(jnp.int32)
+        n_new = n + has.astype(jnp.int32)
+        label = jnp.where(picks_mask(kj, has), -1, label)
+        picked = picked | picks_mask(kj, has)
+        do_sup = has & (n_new < cfg.max_flat_per_sector)
+        picked = picked | suppression(kj, do_sup)
+        return label, picked, n_new
+
+    label, picked, _ = jax.lax.fori_loop(
+        0, cfg.max_flat_per_sector, flat_body,
+        (label, picked, jnp.zeros(S, jnp.int32)))
+    return label
+
+
 def extract_features(seg: SegmentedScan, cfg: PipelineConfig) -> FeatureClouds:
     R, W = seg.ranges.shape
     curv, in_window = curvature_and_window(seg, cfg)
     picked0 = occlusion_mask(seg, cfg)
 
-    labels = jax.vmap(lambda c, co, g, p, w, n: _pick_ring(c, co, g, p, w, n, cfg))(
+    picker = _pick_ring_parallel if cfg.parallel_sectors else _pick_ring
+    labels = jax.vmap(lambda c, co, g, p, w, n: picker(c, co, g, p, w, n, cfg))(
         curv, seg.cols, seg.ground, picked0, in_window, seg.counts)
 
     ring_ids = jax.lax.broadcasted_iota(jnp.int32, (R, W), 0)
@@ -185,7 +282,7 @@ def extract_features(seg: SegmentedScan, cfg: PipelineConfig) -> FeatureClouds:
     cap_ring = cfg.max_less_flat // R
 
     def ring_ds(pts, mask):
-        return voxel_downsample(pts, mask, cfg.less_flat_leaf, cap_ring)
+        return voxel_downsample_exact(pts, mask, cfg.less_flat_leaf, cap_ring)
 
     lf_pts_r, lf_valid_r = jax.vmap(ring_ds)(seg.points, lf_mask)
     lf_ring_r = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None],

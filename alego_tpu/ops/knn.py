@@ -37,18 +37,23 @@ def knn(query: jnp.ndarray, qmask: jnp.ndarray, ref: jnp.ndarray,
 
     q_sq = jnp.sum(query * query, -1, keepdims=True)  # [Q, 1]
 
+    # Perf note: top_k/argmin over a non-128-aligned lane dimension falls off
+    # a cliff on TPU (~50x), so the running-best merge keeps the big top_k on
+    # the aligned [Q, chunk] matrix and merges k+k candidates separately.
     def body(carry, inp):
         best_d, best_i = carry
         rc, mc, base = inp
         r_sq = jnp.sum(rc * rc, -1)[None, :]
         d2 = q_sq - 2.0 * (query @ rc.T) + r_sq           # [Q, chunk] (MXU)
         d2 = jnp.where(mc[None, :], d2, BIG)
-        idx = base + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-        cat_d = jnp.concatenate([best_d, d2], 1)
-        cat_i = jnp.concatenate([best_i, idx], 1)
-        neg_top, top_pos = jax.lax.top_k(-cat_d, k)
-        new_d = -neg_top
-        new_i = jnp.take_along_axis(cat_i, top_pos, axis=1)
+        neg_top, top_pos = jax.lax.top_k(-d2, k)          # aligned reduce
+        cand_d = -neg_top
+        cand_i = base + top_pos.astype(jnp.int32)
+        cat_d = jnp.concatenate([best_d, cand_d], 1)      # [Q, 2k] tiny
+        cat_i = jnp.concatenate([best_i, cand_i], 1)
+        neg_m, m_pos = jax.lax.top_k(-cat_d, k)
+        new_d = -neg_m
+        new_i = jnp.take_along_axis(cat_i, m_pos, axis=1)
         return (new_d, new_i), None
 
     init = (jnp.full((Q, k), BIG, query.dtype), jnp.zeros((Q, k), jnp.int32))
@@ -61,8 +66,37 @@ def knn(query: jnp.ndarray, qmask: jnp.ndarray, ref: jnp.ndarray,
 
 
 def nn1(query, qmask, ref, rmask, chunk: int = 4096):
-    d, i = knn(query, qmask, ref, rmask, 1, chunk)
-    return d[:, 0], i[:, 0]
+    """1-NN specialisation: min + index-of-min (both aligned lane reductions;
+    explicit argmin index tracking through scan carries is slower)."""
+    Q = query.shape[0]
+    N = ref.shape[0]
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    if pad:
+        ref = jnp.concatenate([ref, jnp.zeros((pad, 3), ref.dtype)], 0)
+        rmask = jnp.concatenate([rmask, jnp.zeros((pad,), bool)], 0)
+    ref_c = ref.reshape(n_chunks, chunk, 3)
+    rmask_c = rmask.reshape(n_chunks, chunk)
+    q_sq = jnp.sum(query * query, -1, keepdims=True)
+
+    def body(carry, inp):
+        best_d, best_i = carry
+        rc, mc, base = inp
+        r_sq = jnp.sum(rc * rc, -1)[None, :]
+        d2 = q_sq - 2.0 * (query @ rc.T) + r_sq
+        d2 = jnp.where(mc[None, :], d2, BIG)
+        m = jnp.min(d2, axis=1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        idx = jnp.min(jnp.where(d2 <= m[:, None], iota, chunk), axis=1) + base
+        better = m < best_d
+        return (jnp.where(better, m, best_d),
+                jnp.where(better, idx, best_i)), None
+
+    init = (jnp.full((Q,), BIG, query.dtype), jnp.zeros((Q,), jnp.int32))
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (best_d, best_i), _ = jax.lax.scan(body, init, (ref_c, rmask_c, bases))
+    best_d = jnp.where(qmask, best_d, BIG)
+    return jnp.maximum(best_d, 0.0), best_i
 
 
 def masked_argmin_dist(query: jnp.ndarray, ref: jnp.ndarray, ref_ok: jnp.ndarray):

@@ -72,12 +72,54 @@ def _neighbor_connectivity(ranges: jnp.ndarray, segmentable: jnp.ndarray,
     return conn_right, conn_up
 
 
+def _row_run_min(lab: jnp.ndarray, conn_right: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast the min label over every horizontally connected run.
+
+    Segmented min-scan via ``associative_scan`` (gather-free): forward and
+    backward prefix mins with resets at disconnected edges, then the circular
+    seam is handled by repeating the scan on a half-width-rolled copy and
+    taking the elementwise min (a run crossing the seam is contiguous in the
+    rolled layout).
+    """
+    H = lab.shape[1]
+    big = jnp.int32(2 ** 30)
+
+    def seg_min(lab, conn_left):
+        # combine((v1,r1),(v2,r2)): value resets at segment starts
+        def comb(a, b):
+            av, ar = a
+            bv, br = b
+            # br True: b is connected across its left edge -> min accumulates;
+            # False: run boundary -> restart at b
+            v = jnp.where(br, jnp.minimum(av, bv), bv)
+            return v, ar & br
+        keep = conn_left  # True: connected to left neighbour (no reset)
+        fwd, _ = jax.lax.associative_scan(comb, (lab, keep), axis=1)
+        keep_rev = jnp.roll(conn_left, -1, axis=1)  # reset flags for reverse
+        bwd, _ = jax.lax.associative_scan(comb, (lab, keep_rev), axis=1,
+                                          reverse=True)
+        return jnp.minimum(fwd, bwd)
+
+    conn_left = jnp.roll(conn_right, 1, axis=1)
+    a = seg_min(lab, conn_left)
+    roll = H // 2
+    b = seg_min(jnp.roll(lab, roll, axis=1), jnp.roll(conn_left, roll, axis=1))
+    return jnp.minimum(a, jnp.roll(b, -roll, axis=1))
+
+
 def label_components(img: RangeImage, cfg: PipelineConfig):
     """Parallel CCL. Returns (labels [R, H] int32, seg_ok, outlier_px).
 
     labels: flat-index representative for segmentable pixels, -1 elsewhere.
     seg_ok: pixel belongs to a valid segment; outlier_px: pixel belongs to a
     rejected segment (reference label 999999, IP.cpp:405-410).
+
+    Algorithm: alternate (a) horizontal run-min via segmented prefix scans
+    (collapses entire rows in O(log H) elementwise steps, no gathers — random
+    gathers are the slowest TPU primitive) with (b) vertical neighbour-min
+    over the 16 rings, until fixpoint.  Information crosses one vertical edge
+    per iteration but entire horizontal runs at once, so convergence takes
+    O(#rings) iterations, not O(component diameter).
     """
     R, H = img.ranges.shape
     segmentable = img.valid & ~img.ground
@@ -85,39 +127,22 @@ def label_components(img: RangeImage, cfg: PipelineConfig):
     conn_right, conn_up = _neighbor_connectivity(img.ranges, segmentable, cfg)
 
     flat = jnp.arange(R * H, dtype=jnp.int32).reshape(R, H)
-    init = jnp.where(segmentable, flat, flat)  # every pixel owns itself
+    init = flat
 
     big = jnp.int32(R * H)
 
-    def min_with_neighbors(lab):
-        l_right = jnp.roll(lab, -1, axis=1)
-        l_left = jnp.roll(lab, 1, axis=1)
-        c_left = jnp.roll(conn_right, 1, axis=1)
-        cand = lab
-        cand = jnp.minimum(cand, jnp.where(conn_right, l_right, big))
-        cand = jnp.minimum(cand, jnp.where(c_left, l_left, big))
-        # vertical: conn_up[i] links row i and i+1
-        up = jnp.where(conn_up, lab[1:], big)
-        down = jnp.where(conn_up, lab[:-1], big)
-        cand = cand.at[:-1].min(up)
-        cand = cand.at[1:].min(down)
-        return cand
-
     def body(state):
         lab, _ = state
-        new = min_with_neighbors(lab)
-        # pointer jumping: follow representative twice
-        nf = new.reshape(-1)
-        nf = nf[nf]
-        nf = nf[nf]
-        new = nf.reshape(R, H)
+        new = _row_run_min(lab, conn_right)
+        up = jnp.where(conn_up, new[1:], big)
+        down = jnp.where(conn_up, new[:-1], big)
+        new = new.at[:-1].min(up)
+        new = new.at[1:].min(down)
         changed = jnp.any(new != lab)
         return new, changed
 
-    def cond(state):
-        return state[1]
-
-    labels, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
+    labels, _ = jax.lax.while_loop(lambda s: s[1], body,
+                                   (init, jnp.bool_(True)))
 
     # --- component stats ---
     flat_labels = jnp.where(segmentable, labels, big).reshape(-1)

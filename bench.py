@@ -54,10 +54,14 @@ def main():
     pts_d = jnp.asarray(pts)
     mask_d = jnp.asarray(mask)
 
+    # NB: under the tunneled axon backend, jax.block_until_ready does NOT
+    # wait for device completion; the only reliable fence is a host transfer.
+    # Timing therefore wraps dispatch + a final np.asarray of the last pose,
+    # which (in-order execution) waits for all queued work.
     log("compiling full pipeline (first call)...")
     t0 = time.time()
     st1, est = scan(state, pts_d, mask_d, times)
-    jax.block_until_ready(est)
+    _ = np.asarray(est[-1])
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
     log("timing steady state...")
@@ -65,7 +69,7 @@ def main():
     t0 = time.time()
     for _ in range(reps):
         st2, est = scan(state, pts_d, mask_d, times)
-        jax.block_until_ready(est)
+    _ = np.asarray(est[-1])           # hard fence for every queued rep
     dt = (time.time() - t0) / reps
     fps = n_frames / dt
     log(f"{dt * 1e3 / n_frames:.2f} ms/frame -> {fps:.1f} frames/s")

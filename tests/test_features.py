@@ -41,7 +41,7 @@ def test_curvature_formula():
 
 
 def test_picking_matches_sequential_oracle():
-    cfg = tiny_config()
+    cfg = tiny_config().replace(parallel_sectors=False)
     R, W = cfg.n_scan, 256
     cfg = cfg.replace(ring_width=W)
     rng = np.random.default_rng(1)
@@ -73,18 +73,68 @@ def test_picking_matches_sequential_oracle():
         np.testing.assert_array_equal(labels[i], want, err_msg=f"ring {i}")
 
 
-def test_voxel_downsample_matches_dict_oracle():
-    from alego_tpu.ops.voxel import voxel_downsample
+def test_parallel_sectors_close_to_exact():
+    """Lane-parallel picking agrees with the exact order except at rare
+    sector-boundary interactions."""
+    cfg_e = tiny_config().replace(parallel_sectors=False, ring_width=256)
+    cfg_p = cfg_e.replace(parallel_sectors=True)
+    rng = np.random.default_rng(9)
+    R, W = cfg_e.n_scan, 256
+    base = np.cumsum(rng.uniform(-0.2, 0.2, (R, W)), axis=1) + 10
+    jumps = rng.random((R, W)) < 0.03
+    ranges = base + np.cumsum(jumps * rng.uniform(1, 3, (R, W)), axis=1)
+    cols = (np.arange(W)[None, :] * 3).astype(np.int64).repeat(R, 0).reshape(R, W)
+    ground = rng.random((R, W)) < 0.4
+    counts = rng.integers(150, W, R)
+    seg = _fake_seg(ranges, cols, ground, counts, cfg_e)
+
+    fe = features.extract_features(seg, cfg_e)
+    fp = features.extract_features(seg, cfg_p)
+    for name in ("sharp", "less_sharp", "flat"):
+        a = np.asarray(getattr(fe, f"{name}_pts"))[np.asarray(getattr(fe, f"{name}_valid"))]
+        b = np.asarray(getattr(fp, f"{name}_pts"))[np.asarray(getattr(fp, f"{name}_valid"))]
+        sa = {tuple(np.round(x, 4)) for x in a}
+        sb = {tuple(np.round(x, 4)) for x in b}
+        inter = len(sa & sb)
+        denom = max(len(sa | sb), 1)
+        if denom < 20:     # tiny classes: one boundary flip swings the ratio
+            continue
+        assert inter / denom > 0.85, (name, len(sa), len(sb), inter)
+
+
+def test_voxel_downsample_exact_matches_dict_oracle():
+    from alego_tpu.ops.voxel import voxel_downsample_exact
 
     rng = np.random.default_rng(2)
     pts = rng.uniform(-20, 20, (500, 3)).astype(np.float32)
     mask = rng.random(500) < 0.8
-    out, m = voxel_downsample(jnp.asarray(pts), jnp.asarray(mask), 0.9, 512)
+    out, m = voxel_downsample_exact(jnp.asarray(pts), jnp.asarray(mask), 0.9, 512)
     got = np.asarray(out)[np.asarray(m)]
     want = voxel_centroid(pts[mask], 0.9)
     got_s = got[np.lexsort(got.T)]
     want_s = want[np.lexsort(want.T)]
     np.testing.assert_allclose(got_s, want_s, atol=1e-4)
+
+
+def test_voxel_downsample_hash_near_complete():
+    """Hash-table variant: centroids exact for surviving voxels, low loss."""
+    from alego_tpu.ops.voxel import voxel_downsample
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-40, 40, (8000, 3)).astype(np.float32)
+    mask = np.ones(8000, bool)
+    want = voxel_centroid(pts, 1.1)          # ~ thousands of voxels
+    cap = 4 * len(want)                      # load factor ~0.25
+    out, m = voxel_downsample(jnp.asarray(pts), jnp.asarray(mask), 1.1, cap)
+    got = np.asarray(out)[np.asarray(m)]
+    # at least 99% of voxels survive the 3-probe hash
+    assert len(got) >= 0.99 * len(want), (len(got), len(want))
+    # surviving centroids are exactly the oracle centroids (match by cell)
+    want_by_cell = {tuple(np.floor(c / 1.1).astype(int)): c for c in want}
+    for c in got[:200]:
+        key = tuple(np.floor(c / 1.1).astype(int))
+        assert key in want_by_cell
+        np.testing.assert_allclose(c, want_by_cell[key], atol=1e-4)
 
 
 def test_full_feature_extraction_on_rendered_scan():
