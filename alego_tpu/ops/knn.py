@@ -57,8 +57,14 @@ def knn(query: jnp.ndarray, qmask: jnp.ndarray, ref: jnp.ndarray,
         return (new_d, new_i), None
 
     init = (jnp.full((Q, k), BIG, query.dtype), jnp.zeros((Q, k), jnp.int32))
-    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (best_d, best_i), _ = jax.lax.scan(body, init, (ref_c, rmask_c, bases))
+    # skip trailing empty chunks (map arrays are mostly front-compacted)
+    last = jnp.max(jnp.where(rmask, jnp.arange(rmask.shape[0], dtype=jnp.int32), -1))
+    n_active = jnp.minimum((last + chunk) // chunk, n_chunks)
+
+    def fbody(c, carry):
+        return body(carry, (ref_c[c], rmask_c[c], c * chunk))[0]
+
+    best_d, best_i = jax.lax.fori_loop(0, n_active, fbody, init)
 
     best_d = jnp.where(qmask[:, None], best_d, BIG)
     # ascending order (top_k of negatives gives ascending already)
@@ -93,8 +99,13 @@ def nn1(query, qmask, ref, rmask, chunk: int = 4096):
                 jnp.where(better, idx, best_i)), None
 
     init = (jnp.full((Q,), BIG, query.dtype), jnp.zeros((Q,), jnp.int32))
-    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (best_d, best_i), _ = jax.lax.scan(body, init, (ref_c, rmask_c, bases))
+    last = jnp.max(jnp.where(rmask, jnp.arange(rmask.shape[0], dtype=jnp.int32), -1))
+    n_active = jnp.minimum((last + chunk) // chunk, n_chunks)
+
+    def fbody(c, carry):
+        return body(carry, (ref_c[c], rmask_c[c], c * chunk))[0]
+
+    best_d, best_i = jax.lax.fori_loop(0, n_active, fbody, init)
     best_d = jnp.where(qmask, best_d, BIG)
     return jnp.maximum(best_d, 0.0), best_i
 

@@ -72,39 +72,30 @@ def _neighbor_connectivity(ranges: jnp.ndarray, segmentable: jnp.ndarray,
     return conn_right, conn_up
 
 
-def _row_run_min(lab: jnp.ndarray, conn_right: jnp.ndarray) -> jnp.ndarray:
-    """Broadcast the min label over every horizontally connected run.
+def _reach_masks(conn_right: jnp.ndarray):
+    """Doubling reachability: masks[k][i] == columns i and i+2^k circularly
+    connected through an unbroken run.  Computed once per frame; each CCL
+    iteration then collapses whole rows with pure roll+min ops (gather-free,
+    and the circular roll handles the column seam natively)."""
+    H = conn_right.shape[1]
+    masks = [conn_right]
+    d = 1
+    while d < H:
+        masks.append(masks[-1] & jnp.roll(masks[-1], -d, axis=1))
+        d *= 2
+    return masks
 
-    Segmented min-scan via ``associative_scan`` (gather-free): forward and
-    backward prefix mins with resets at disconnected edges, then the circular
-    seam is handled by repeating the scan on a half-width-rolled copy and
-    taking the elementwise min (a run crossing the seam is contiguous in the
-    rolled layout).
-    """
-    H = lab.shape[1]
+
+def _row_run_min(lab: jnp.ndarray, masks) -> jnp.ndarray:
+    """Min label over each horizontally connected (circular) run, by
+    iterative doubling against the precomputed reach masks."""
     big = jnp.int32(2 ** 30)
-
-    def seg_min(lab, conn_left):
-        # combine((v1,r1),(v2,r2)): value resets at segment starts
-        def comb(a, b):
-            av, ar = a
-            bv, br = b
-            # br True: b is connected across its left edge -> min accumulates;
-            # False: run boundary -> restart at b
-            v = jnp.where(br, jnp.minimum(av, bv), bv)
-            return v, ar & br
-        keep = conn_left  # True: connected to left neighbour (no reset)
-        fwd, _ = jax.lax.associative_scan(comb, (lab, keep), axis=1)
-        keep_rev = jnp.roll(conn_left, -1, axis=1)  # reset flags for reverse
-        bwd, _ = jax.lax.associative_scan(comb, (lab, keep_rev), axis=1,
-                                          reverse=True)
-        return jnp.minimum(fwd, bwd)
-
-    conn_left = jnp.roll(conn_right, 1, axis=1)
-    a = seg_min(lab, conn_left)
-    roll = H // 2
-    b = seg_min(jnp.roll(lab, roll, axis=1), jnp.roll(conn_left, roll, axis=1))
-    return jnp.minimum(a, jnp.roll(b, -roll, axis=1))
+    for k, Ck in enumerate(masks):
+        d = 1 << k
+        fwd = jnp.where(Ck, jnp.roll(lab, -d, axis=1), big)
+        bwd = jnp.where(jnp.roll(Ck, d, axis=1), jnp.roll(lab, d, axis=1), big)
+        lab = jnp.minimum(lab, jnp.minimum(fwd, bwd))
+    return lab
 
 
 def label_components(img: RangeImage, cfg: PipelineConfig):
@@ -125,19 +116,27 @@ def label_components(img: RangeImage, cfg: PipelineConfig):
     segmentable = img.valid & ~img.ground
 
     conn_right, conn_up = _neighbor_connectivity(img.ranges, segmentable, cfg)
+    masks = _reach_masks(conn_right)
 
     flat = jnp.arange(R * H, dtype=jnp.int32).reshape(R, H)
     init = flat
 
     big = jnp.int32(R * H)
 
+    def vertical_fixpoint(lab):
+        # complete vertical chain collapse: 16-row unrolled down+up sweeps
+        rows = [lab[i] for i in range(R)]
+        for i in range(1, R):
+            rows[i] = jnp.minimum(rows[i], jnp.where(conn_up[i - 1],
+                                                     rows[i - 1], big))
+        for i in range(R - 2, -1, -1):
+            rows[i] = jnp.minimum(rows[i], jnp.where(conn_up[i],
+                                                     rows[i + 1], big))
+        return jnp.stack(rows)
+
     def body(state):
         lab, _ = state
-        new = _row_run_min(lab, conn_right)
-        up = jnp.where(conn_up, new[1:], big)
-        down = jnp.where(conn_up, new[:-1], big)
-        new = new.at[:-1].min(up)
-        new = new.at[1:].min(down)
+        new = vertical_fixpoint(_row_run_min(lab, masks))
         changed = jnp.any(new != lab)
         return new, changed
 
@@ -183,29 +182,36 @@ def compact(img: RangeImage, seg_ok: jnp.ndarray, outlier_px: jnp.ndarray,
         (cols % cfg.ground_subsample != 0) & (cols > 4) & (cols < H - 5))
     keep = seg_ok | ground_keep
 
-    # stable per-row sort: kept pixels first, preserving column order
-    order = jnp.argsort(jnp.where(keep, 0, 1), axis=1, stable=True)
-    if H >= W:
-        take = order[:, :W]
-    else:  # ring wider than image (tiny test geometries): pad, masked below
-        take = jnp.concatenate(
-            [order, jnp.zeros((R, W - H), order.dtype)], axis=1)
-    valid = jnp.take_along_axis(keep, take, axis=1)
+    # stable per-row compaction: payloads ride the sort (gather-free)
+    key = jnp.where(keep, 0, 1).astype(jnp.int32)
+    f32 = img.points.dtype
+    sorted_ops = jax.lax.sort(
+        (key, img.points[..., 0], img.points[..., 1], img.points[..., 2],
+         img.ranges, cols.astype(f32), img.ground.astype(f32),
+         keep.astype(f32)),
+        dimension=1, num_keys=1, is_stable=True)
+    if H < W:   # ring wider than image (tiny test geometries): pad
+        sorted_ops = tuple(
+            jnp.concatenate([a, jnp.zeros((R, W - H), a.dtype)], axis=1)
+            for a in sorted_ops)
+    _, xs, ys, zs, rngs, colss, grds, keeps = (a[:, :W] for a in sorted_ops)
+    valid = keeps > 0
     counts = keep.sum(axis=1).astype(jnp.int32)
-    valid = valid & (jax.lax.broadcasted_iota(jnp.int32, (R, W), 1) < counts[:, None])
 
-    gather = lambda a: jnp.take_along_axis(a, take, axis=1)
-    pts = jnp.take_along_axis(img.points, take[..., None], axis=1)
-    rng = jnp.where(valid, gather(img.ranges), 0.0)
-    col_out = jnp.where(valid, gather(cols), 0)
-    grd = valid & gather(img.ground)
+    pts = jnp.where(valid[..., None], jnp.stack([xs, ys, zs], -1), 0.0)
+    rng = jnp.where(valid, rngs, 0.0)
+    col_out = jnp.where(valid, colss, 0).astype(jnp.int32)
+    grd = valid & (grds > 0)
 
     # outliers: global compaction over the flattened image
     out_keep = (outlier_px & (rows > cfg.ground_scan_id)
                 & (cols % cfg.outlier_subsample == 0)).reshape(-1)
-    o_order = jnp.argsort(jnp.where(out_keep, 0, 1), stable=True)[: cfg.max_outlier]
-    o_valid = out_keep[o_order]
-    o_pts = img.points.reshape(-1, 3)[o_order]
+    fp = img.points.reshape(-1, 3)
+    o_ops = jax.lax.sort(
+        (jnp.where(out_keep, 0, 1).astype(jnp.int32), fp[:, 0], fp[:, 1],
+         fp[:, 2], out_keep.astype(f32)), num_keys=1, is_stable=True)
+    o_valid = (o_ops[4] > 0)[: cfg.max_outlier]
+    o_pts = jnp.stack([o_ops[1], o_ops[2], o_ops[3]], -1)[: cfg.max_outlier]
 
     return SegmentedScan(
         points=jnp.where(valid[..., None], pts, 0.0),
