@@ -1,0 +1,134 @@
+"""Command-line runner — the launch-file equivalent (C16).
+
+The reference is started with ``roslaunch alego test2.launch`` + a rosbag
+replay (README.md:27-41).  Here the same role is one command:
+
+    python -m alego_tpu.cli --input /path/to/frames --output out/
+    python -m alego_tpu.cli --synthetic 100 --output out/       # no data needed
+
+``--input`` accepts a directory of ``.pcd`` or KITTI ``.bin`` frames (sorted
+by name, prefetched by the native C++ loader).  Outputs: TUM-format
+trajectory, timing report, and the /save_map-equivalent PCD map.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def _tum_line(t, T):
+    from .ops import se3
+    import jax.numpy as jnp
+    import numpy as np
+
+    q = np.asarray(se3.rot_to_quat(jnp.asarray(T[:3, :3])))
+    return (f"{t:.6f} {T[0,3]:.6f} {T[1,3]:.6f} {T[2,3]:.6f} "
+            f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="alego_tpu SLAM runner")
+    ap.add_argument("--input", help="directory of .pcd/.bin scans")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="run N synthetic frames instead of real data")
+    ap.add_argument("--output", default="alego_out", help="output directory")
+    ap.add_argument("--tiny", action="store_true", help="use the small test config")
+    ap.add_argument("--no-loop-closure", action="store_true")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--save-map", action="store_true", help="export PCD map")
+    ap.add_argument("--checkpoint", help="resume from a checkpoint .npz")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    from .config import PipelineConfig, tiny_config
+    from .models.pipeline import SlamPipeline
+    from .utils.profiling import StageTimer
+    from .utils import io as pio
+
+    cfg = tiny_config() if args.tiny else PipelineConfig()
+    if args.no_loop_closure:
+        cfg = cfg.replace(loop_closure_enabled=False)
+
+    pipe = SlamPipeline(cfg)
+    if args.checkpoint:
+        pipe.load_checkpoint(args.checkpoint)
+        print(f"resumed from {args.checkpoint} at frame {pipe.state.frame}")
+
+    os.makedirs(args.output, exist_ok=True)
+    timer = StageTimer()
+
+    def feed(points4):
+        pts = points4[:, :3].astype(np.float32)
+        good = np.isfinite(pts).all(-1)
+        pad = np.zeros((cfg.max_raw_points, 3), np.float32)
+        msk = np.zeros(cfg.max_raw_points, bool)
+        n = min(good.sum(), cfg.max_raw_points)
+        sel = pts[good][:n]
+        pad[:n] = sel
+        msk[:n] = True
+        with timer.stage("slam_step"):
+            return pipe.process(pad, msk)
+
+    t_start = time.time()
+    gt = None
+    if args.synthetic:
+        from .utils import synthetic
+
+        world = synthetic.make_world(seed=7)
+        # ~0.25 m/frame (1.25 m/s at 5 Hz); loop circumference scales with n
+        radius = max(4.0, args.synthetic * 0.25 / (2 * 3.14159))
+        gt = synthetic.loop_trajectory(args.synthetic, radius=radius, closed=True)
+        pts_seq, mask_seq = synthetic.render_sequence(world, gt, cfg, noise=0.01)
+        for k in range(args.synthetic):
+            with timer.stage("slam_step"):
+                pipe.process(pts_seq[k], mask_seq[k])
+    else:
+        if not args.input:
+            ap.error("either --input or --synthetic is required")
+        from .runtime.io_native import FrameLoader
+
+        paths = sorted(
+            os.path.join(args.input, f) for f in os.listdir(args.input)
+            if f.endswith((".pcd", ".bin")))
+        if args.max_frames:
+            paths = paths[: args.max_frames]
+        print(f"{len(paths)} frames from {args.input}")
+        loader = FrameLoader(paths, n_threads=2)
+        for frame in loader:
+            feed(frame)
+        loader.close()
+
+    n = len(pipe.poses)
+    wall = time.time() - t_start
+    print(f"{n} frames in {wall:.1f}s ({n / max(wall, 1e-9):.1f} fps)")
+    print(timer.report())
+
+    traj_path = os.path.join(args.output, "trajectory_tum.txt")
+    with open(traj_path, "w") as f:
+        for k, T in enumerate(pipe.poses):
+            f.write(_tum_line(k * cfg.scan_period, T) + "\n")
+    print(f"trajectory -> {traj_path}")
+
+    if gt is not None:
+        from .utils.metrics import ate_rmse
+
+        est = np.stack(pipe.poses)
+        print(f"ATE vs synthetic ground truth: "
+              f"{ate_rmse(est[:, :3, 3], gt[:, :3, 3], align=False):.3f} m")
+
+    ms = pipe.state.mapping
+    print(f"keyframes: {int(ms.graph.count)}, loops: {int(ms.graph.loop_count)}")
+
+    if args.save_map:
+        pio.save_map(os.path.join(args.output, "map"), pipe.export_map())
+        print(f"map -> {args.output}/map/*.pcd")
+
+    pipe.save_checkpoint(os.path.join(args.output, "state.npz"))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
