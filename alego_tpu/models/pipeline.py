@@ -138,6 +138,27 @@ class SlamPipeline:
             self.process(points_seq[k], mask_seq[k])
         return np.stack(self.poses)
 
+    def run_scanned(self, points_seq: np.ndarray, mask_seq: np.ndarray
+                    ) -> np.ndarray:
+        """Batch path: lax.scan over all frames in ONE device call.
+
+        Preferred for throughput — the per-frame ``process`` path pays a
+        host<->device round-trip per frame, which dominates on tunneled
+        devices."""
+        n = points_seq.shape[0]
+        times = jnp.arange(self._frame, self._frame + n,
+                           dtype=jnp.float32) * self.cfg.scan_period
+        if not hasattr(self, "_scan"):
+            cfg = self.cfg
+            self._scan = jax.jit(
+                lambda st, p, m, t: scan_sequence(st, p, m, t, cfg))
+        self.state, est = self._scan(
+            self.state, jnp.asarray(points_seq), jnp.asarray(mask_seq), times)
+        est = np.asarray(est)
+        self._frame += n
+        self.poses.extend(est)
+        return est
+
     # ---- /save_map equivalent (LM.cpp:1007-1055) ----
     def export_map(self):
         """Assemble the global map from keyframes; returns dict of arrays."""

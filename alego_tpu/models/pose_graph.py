@@ -62,25 +62,30 @@ def init_graph(max_kf: int, max_loops: int, dtype=jnp.float32) -> PoseGraph:
 
 
 def add_keyframe(g: PoseGraph, pose: jnp.ndarray) -> PoseGraph:
-    """Append a pose; measured between = prev^-1 @ pose (LM.cpp:655-658)."""
-    k = g.count
+    """Append a pose; measured between = prev^-1 @ pose (LM.cpp:655-658).
+
+    At capacity the newest slot is overwritten (graceful degradation; the
+    reference grows unboundedly instead, SURVEY §5.7)."""
+    cap = g.poses.shape[0]
+    k = jnp.minimum(g.count, cap - 1)
     prev = g.poses[jnp.maximum(k - 1, 0)]
     rel = jnp.where(k == 0, pose, se3.inv_mat(prev) @ pose)
     return g._replace(
         poses=g.poses.at[k].set(pose),
         chain_rel=g.chain_rel.at[k].set(rel),
-        count=k + 1,
+        count=jnp.minimum(g.count + 1, cap),
     )
 
 
 def add_loop_factor(g: PoseGraph, i, j, rel, weight) -> PoseGraph:
-    l = jnp.minimum(g.loop_count, g.loop_w.shape[0] - 1)
+    cap = g.loop_w.shape[0]
+    l = jnp.minimum(g.loop_count, cap - 1)
     return g._replace(
         loop_i=g.loop_i.at[l].set(i.astype(jnp.int32)),
         loop_j=g.loop_j.at[l].set(j.astype(jnp.int32)),
         loop_rel=g.loop_rel.at[l].set(rel),
         loop_w=g.loop_w.at[l].set(weight),
-        loop_count=g.loop_count + 1,
+        loop_count=jnp.minimum(g.loop_count + 1, cap),
     )
 
 

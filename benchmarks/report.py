@@ -1,0 +1,137 @@
+"""Parity + scaling report across the BASELINE.json configurations.
+
+Runs the five driver configs on synthetic sequences (the reference's bags are
+private; SURVEY §4) and writes benchmarks/report.json + a markdown summary:
+
+1. single scan pair: feature extraction + 2-step odometry
+2. odometry-only sequence ATE
+3. odometry + scan-to-map, loop closure off
+4. full pipeline with loop closure + pose graph
+5. multi-device: sharded front end + distributed pose-graph (virtual mesh)
+
+Usage:  python benchmarks/report.py [--frames N] [--tiny]
+On CPU it validates correctness; on the TPU it also reports frames/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    # a closed loop turns 2*pi/n per frame; >=100 frames keeps rotation
+    # within scan-matching range (~3.6 deg/frame), as a real platform would
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__),
+                                                  "report.json"))
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from alego_tpu.config import PipelineConfig, tiny_config
+    from alego_tpu.models.pipeline import SlamPipeline
+    from alego_tpu.utils import synthetic, metrics
+
+    cfg = tiny_config(icp_iters=30) if args.tiny else PipelineConfig()
+    n = args.frames
+    report = {"backend": jax.default_backend(), "frames": n,
+              "config": "tiny" if args.tiny else "full"}
+
+    world = synthetic.make_world(seed=77)
+    # circumference-matched closed loop (~0.25 m/frame)
+    radius = max(6.0, n * 0.25 / (2 * np.pi))
+    poses = synthetic.loop_trajectory(n, radius=radius, closed=True)
+    pts, mask = synthetic.render_sequence(world, poses, cfg, noise=0.01)
+
+    # --- config 1+2: odometry only ---
+    c2 = cfg.replace(loop_closure_enabled=False, map_frame_decimation=10 ** 6)
+    pipe = SlamPipeline(c2)
+    t0 = time.time()
+    est = pipe.run_scanned(pts, mask)
+    dt = time.time() - t0
+    report["odometry_only"] = {
+        "ate_m": round(metrics.ate_rmse(est[:, :3, 3], poses[:, :3, 3],
+                                        align=False), 4),
+        "wall_s": round(dt, 1),
+    }
+    print("config 1-2 odometry-only:", report["odometry_only"], flush=True)
+
+    # --- config 3: + mapping, no loops ---
+    c3 = cfg.replace(loop_closure_enabled=False)
+    pipe = SlamPipeline(c3)
+    est = pipe.run_scanned(pts, mask)
+    report["with_mapping"] = {
+        "ate_m": round(metrics.ate_rmse(est[:, :3, 3], poses[:, :3, 3],
+                                        align=False), 4),
+        "keyframes": int(pipe.state.mapping.graph.count),
+    }
+    print("config 3 mapping:", report["with_mapping"], flush=True)
+
+    # --- config 4: full with loop closure ---
+    c4 = cfg.replace(loop_time_gap=min(cfg.loop_time_gap,
+                                       0.3 * n * cfg.scan_period))
+    pipe = SlamPipeline(c4)
+    t0 = time.time()
+    est = pipe.run_scanned(pts, mask)
+    _ = np.asarray(est[-1])
+    dt = time.time() - t0
+    # steady-state fps from a second pass
+    pipe2 = SlamPipeline(c4)
+    t0 = time.time()
+    est2 = pipe2.run_scanned(pts, mask)
+    _ = np.asarray(est2[-1])
+    dt2 = time.time() - t0
+    report["full_loop_closure"] = {
+        "ate_m": round(metrics.ate_rmse(est[:, :3, 3], poses[:, :3, 3],
+                                        align=False), 4),
+        "keyframes": int(pipe.state.mapping.graph.count),
+        "loops": int(pipe.state.mapping.graph.loop_count),
+        "fps": round(n / dt2, 1),
+    }
+    print("config 4 full:", report["full_loop_closure"], flush=True)
+
+    # --- config 5: multi-device ---
+    try:
+        from alego_tpu.parallel.multichip import make_mesh, make_multichip_step
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndev = len(jax.devices())
+        if ndev >= 2:
+            mesh = make_mesh(ndev)
+            mc_cfg = tiny_config(horizon_scan=360, max_raw_points=4096,
+                                 ring_width=256, max_less_flat=1024,
+                                 max_outlier=256)
+            step = make_multichip_step(mc_cfg, mesh, 8 * ndev)
+            B = ndev
+            sh = NamedSharding(mesh, P("data"))
+            p_d = jax.device_put(jnp.asarray(pts[:B, : mc_cfg.max_raw_points]), sh)
+            m_d = jax.device_put(jnp.asarray(mask[:B, : mc_cfg.max_raw_points]), sh)
+            chain = jnp.broadcast_to(jnp.eye(4), (8 * ndev, 4, 4))
+            fc, _ = step(p_d, m_d, chain, jax.device_put(chain, sh),
+                         jnp.ones(8 * ndev, bool))
+            jax.block_until_ready(fc.less_flat_pts)
+            report["multichip"] = {"devices": ndev, "status": "ok"}
+        else:
+            report["multichip"] = {"devices": ndev, "status": "skipped"}
+    except Exception as e:  # pragma: no cover
+        report["multichip"] = {"status": f"error: {e}"}
+    print("config 5 multichip:", report["multichip"], flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"report -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

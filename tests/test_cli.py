@@ -1,0 +1,51 @@
+import os
+import numpy as np
+
+from alego_tpu.cli import main
+
+
+def test_cli_synthetic_run(tmp_path):
+    out = str(tmp_path / "out")
+    rc = main(["--synthetic", "8", "--tiny", "--output", out,
+               "--no-loop-closure", "--save-map"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "trajectory_tum.txt"))
+    assert os.path.exists(os.path.join(out, "state.npz"))
+    assert os.path.exists(os.path.join(out, "map", "surf.pcd"))
+    lines = open(os.path.join(out, "trajectory_tum.txt")).read().splitlines()
+    assert len(lines) == 8
+    assert len(lines[0].split()) == 8  # TUM: t x y z qx qy qz qw
+
+
+def test_cli_resume(tmp_path):
+    out1 = str(tmp_path / "a")
+    main(["--synthetic", "6", "--tiny", "--output", out1, "--no-loop-closure"])
+    out2 = str(tmp_path / "b")
+    rc = main(["--synthetic", "4", "--tiny", "--output", out2,
+               "--no-loop-closure", "--checkpoint",
+               os.path.join(out1, "state.npz")])
+    assert rc == 0
+
+
+def test_cli_frame_dir(tmp_path):
+    # feed .bin frames through the native loader path
+    from alego_tpu.config import tiny_config
+    from alego_tpu.utils import synthetic
+
+    cfg = tiny_config()
+    world = synthetic.make_world(seed=2)
+    poses = synthetic.loop_trajectory(5, radius=20, speed=0.5, closed=False)
+    d = tmp_path / "frames"
+    d.mkdir()
+    for k in range(5):
+        pts = synthetic.render_scan(world, poses[k], cfg)
+        good = np.isfinite(pts).all(-1)
+        arr = np.concatenate([pts[good][:4000],
+                              np.zeros((min(good.sum(), 4000), 1), np.float32)[:4000]], 1)
+        arr.astype(np.float32).tofile(str(d / f"{k:04d}.bin"))
+    out = str(tmp_path / "out")
+    rc = main(["--input", str(d), "--tiny", "--output", out,
+               "--no-loop-closure"])
+    assert rc == 0
+    lines = open(os.path.join(out, "trajectory_tum.txt")).read().splitlines()
+    assert len(lines) == 5
