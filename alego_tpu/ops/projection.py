@@ -84,17 +84,18 @@ def project_scan(points: jnp.ndarray, mask: jnp.ndarray, cfg: PipelineConfig) ->
     ok = mask & (row >= 0) & (row < R) & (col >= 0) & (col < H)
     flat_idx = jnp.where(ok, row * H + col, R * H)  # out-of-range -> dropped bin
 
-    # Min-range scatter: the closest return wins a contested pixel.
+    # Last-write-wins scatter for range AND coordinates — the reference's
+    # exact duplicate-pixel rule (IP.cpp:196-200), and gather-free (a win
+    # check would need a 64k random gather, the slowest TPU primitive).
     ranges = jnp.full((R * H + 1,), INVALID_RANGE, points.dtype)
-    ranges = ranges.at[flat_idx].min(jnp.where(ok, rng, INVALID_RANGE))
+    ranges = ranges.at[flat_idx].set(jnp.where(ok, rng, INVALID_RANGE),
+                                     mode="drop")
     ranges_img = ranges[: R * H].reshape(R, H)
     valid = ranges_img < INVALID_RANGE * 0.5
 
-    # Fill point coords: keep the point whose range equals the pixel minimum.
-    win = ok & (rng <= ranges[flat_idx] * (1 + 1e-7))
     pts_img = jnp.zeros((R * H + 1, 3), points.dtype)
-    pts_img = pts_img.at[jnp.where(win, flat_idx, R * H)].set(
-        jnp.where(win[..., None], points, 0.0))
+    pts_img = pts_img.at[flat_idx].set(jnp.where(ok[..., None], points, 0.0),
+                                       mode="drop")
     pts_img = pts_img[: R * H].reshape(R, H, 3)
 
     ground = ground_mask(pts_img, valid, cfg)

@@ -203,10 +203,12 @@ def compact(img: RangeImage, seg_ok: jnp.ndarray, outlier_px: jnp.ndarray,
     col_out = jnp.where(valid, colss, 0).astype(jnp.int32)
     grd = valid & (grds > 0)
 
-    # outliers: global compaction over the flattened image
-    out_keep = (outlier_px & (rows > cfg.ground_scan_id)
-                & (cols % cfg.outlier_subsample == 0)).reshape(-1)
-    fp = img.points.reshape(-1, 3)
+    # outliers live strictly above ground_scan_id (IP.cpp:265): sort only
+    # those rings (4x less data through the compaction sort)
+    g1 = cfg.ground_scan_id + 1
+    out_keep = (outlier_px[g1:] & (cols[g1:] % cfg.outlier_subsample == 0)
+                ).reshape(-1)
+    fp = img.points[g1:].reshape(-1, 3)
     o_ops = jax.lax.sort(
         (jnp.where(out_keep, 0, 1).astype(jnp.int32), fp[:, 0], fp[:, 1],
          fp[:, 2], out_keep.astype(f32)), num_keys=1, is_stable=True)
