@@ -16,7 +16,19 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .knn import nn1
+import jax as _jax
+
+from .knn import nn1 as _nn1_xla
+
+
+def _nn1(query, qmask, ref, rmask, chunk=4096):
+    """1-NN dispatcher: fused Pallas kernel on TPU (keeps distance tiles in
+    VMEM, compiles ~60x faster), XLA chunked scan elsewhere."""
+    if _jax.default_backend() == "tpu":
+        from .pallas_nn import nn1_pallas
+
+        return nn1_pallas(query, qmask, ref, rmask)
+    return _nn1_xla(query, qmask, ref, rmask, chunk=chunk)
 
 
 class ICPResult(NamedTuple):
@@ -53,7 +65,7 @@ def icp_point_to_point(src: jnp.ndarray, src_valid: jnp.ndarray,
     def body(state):
         T, _, it, _ = state
         moved = src @ T[:3, :3].T + T[:3, 3]
-        d2, idx = nn1(moved, src_valid, tgt, tgt_valid, chunk=chunk)
+        d2, idx = _nn1(moved, src_valid, tgt, tgt_valid, chunk=chunk)
         w = (src_valid & (d2 < max_d2)).astype(dtype)
         R, t = _rigid_from_correspondences(moved, tgt[idx], w)
         dT = I4.at[:3, :3].set(R).at[:3, 3].set(t)
@@ -70,7 +82,7 @@ def icp_point_to_point(src: jnp.ndarray, src_valid: jnp.ndarray,
                      jnp.asarray(0.0, dtype)))
 
     moved = src @ T[:3, :3].T + T[:3, 3]
-    d2, _ = nn1(moved, src_valid, tgt, tgt_valid, chunk=chunk)
+    d2, _ = _nn1(moved, src_valid, tgt, tgt_valid, chunk=chunk)
     nsrc = jnp.maximum(jnp.sum(src_valid), 1)
     fitness = jnp.sum(jnp.where(src_valid, d2, 0.0)) / nsrc
     converged = (n_corr > 0) & jnp.isfinite(fitness)
