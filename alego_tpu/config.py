@@ -174,7 +174,7 @@ def tiny_config(**kw) -> PipelineConfig:
         map_corner_cap=4096,
         map_surf_cap=8192,
         loop_hist_cap=12288,
-        loop_latest_cap=1024,
+        loop_latest_cap=2048,
         max_loop_factors=16,
         knn_chunk=1024,
     )

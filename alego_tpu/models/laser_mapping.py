@@ -272,11 +272,11 @@ def loop_closure_step(ms: MappingState, cfg: PipelineConfig):
 
     def attempt(ms):
         pose_latest = ms.graph.poses[latest]
-        # voxel-filtered source (same leaf as the history cloud): halves the
-        # per-iteration NN cost with no measurable fitness change
+        # raw (unfiltered) source cloud: PCL's getFitnessScore averages over
+        # raw source points; voxel-filtering shifts the fitness distribution
+        # and would break the 0.3 acceptance gate's calibration
         src, src_ok = _keyframe_cloud(ms, latest, pose_latest,
-                                      cfg.loop_latest_cap, cfg,
-                                      leaf=cfg.history_leaf)
+                                      cfg.loop_latest_cap, cfg)
 
         # history cloud: +-history_search_num keyframes around the candidate
         # (contiguous window -> dynamic_slice, not gather)

@@ -22,12 +22,9 @@ from .knn import nn1 as _nn1_xla
 
 
 def _nn1(query, qmask, ref, rmask, chunk=4096):
-    """1-NN dispatcher: fused Pallas kernel on TPU (keeps distance tiles in
-    VMEM, compiles ~60x faster), XLA chunked scan elsewhere."""
-    if _jax.default_backend() == "tpu":
-        from .pallas_nn import nn1_pallas
-
-        return nn1_pallas(query, qmask, ref, rmask)
+    """1-NN dispatcher. The fused Pallas kernel (ops/pallas_nn) matches the
+    XLA chunked scan standalone but measured slower inside this while_loop
+    context on v5e, so the XLA path stays default; flip here to experiment."""
     return _nn1_xla(query, qmask, ref, rmask, chunk=chunk)
 
 
