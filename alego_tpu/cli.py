@@ -40,6 +40,9 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--save-map", action="store_true", help="export PCD map")
     ap.add_argument("--checkpoint", help="resume from a checkpoint .npz")
+    ap.add_argument("--dump-debug", action="store_true",
+                    help="write first-frame segmented/feature clouds as PCDs "
+                         "(the reference's debug topics, LO.cpp:123-127)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -69,20 +72,48 @@ def main(argv=None):
         sel = pts[good][:n]
         pad[:n] = sel
         msk[:n] = True
+        if dump_first:
+            dump_first.pop()(pad, msk)
         with timer.stage("slam_step"):
             return pipe.process(pad, msk)
+
+    if args.dump_debug:
+        import jax
+        import jax.numpy as jnp
+        from .models.image_projection import image_projection
+        from .ops.features import extract_features
+
+        def dump_first_frame(points, msk):
+            seg = image_projection(jnp.asarray(points), jnp.asarray(msk), cfg)
+            fc = extract_features(seg, cfg)
+            dbg = os.path.join(args.output, "debug")
+            os.makedirs(dbg, exist_ok=True)
+            v = np.asarray(seg.valid)
+            pio.write_pcd(os.path.join(dbg, "segmented.pcd"),
+                          np.asarray(seg.points)[v])
+            for name in ("sharp", "less_sharp", "flat", "less_flat"):
+                pts_ = np.asarray(getattr(fc, f"{name}_pts"))
+                ok_ = np.asarray(getattr(fc, f"{name}_valid"))
+                pio.write_pcd(os.path.join(dbg, f"{name}.pcd"), pts_[ok_])
+            print(f"debug clouds -> {dbg}/")
+
+        dump_first = [dump_first_frame]
+    else:
+        dump_first = []
 
     t_start = time.time()
     gt = None
     if args.synthetic:
         from .utils import synthetic
 
-        world = synthetic.make_world(seed=7)
         # ~0.25 m/frame (1.25 m/s at 5 Hz); loop circumference scales with n
         radius = max(4.0, args.synthetic * 0.25 / (2 * 3.14159))
         gt = synthetic.loop_trajectory(args.synthetic, radius=radius, closed=True)
+        world = synthetic.make_world(seed=7, clear_path=gt[:, :2, 3])
         pts_seq, mask_seq = synthetic.render_sequence(world, gt, cfg, noise=0.01)
         for k in range(args.synthetic):
+            if k == 0 and dump_first:
+                dump_first.pop()(pts_seq[0], mask_seq[0])
             with timer.stage("slam_step"):
                 pipe.process(pts_seq[k], mask_seq[k])
     else:

@@ -102,7 +102,7 @@ class PipelineConfig:
     history_search_num: int = 25          # LM.cpp:211
     history_fitness_score: float = 0.3    # LM.cpp:212
     loop_time_gap: float = 30.0           # LM.cpp:934
-    loop_every_n_keyframes: int = 1       # attempt per keyframe (~1 Hz thread)
+    loop_every_n_keyframes: int = 2       # ~1 Hz thread at ref keyframe rates
     icp_max_corr_dist: float = 100.0      # LM.cpp:819
     icp_iters: int = 100                  # LM.cpp:820
     icp_translation_eps: float = 1e-6     # LM.cpp:821
@@ -114,7 +114,8 @@ class PipelineConfig:
     # the chain much stiffer than loops but at a conditioning-safe ratio.
     # Order: twist [rho(3), phi(3)] variances.
     pose_graph_chain_sigma: tuple = (1e-4, 1e-4, 1e-4, 1e-4, 1e-4, 1e-4)
-    pose_graph_gn_iters: int = 10
+    pose_graph_gn_iters: int = 3   # GN converges in 2-3 (tests); the
+                                   # 6*max_kf dense solve dominates loop cost
 
     # --- IMU (utility.h:68-70, LO.cpp:840-881) ---
     use_imu: bool = False           # de-skew call is disabled in ref (LO.cpp:184)

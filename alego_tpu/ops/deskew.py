@@ -71,6 +71,20 @@ def integrate_imu(buf: ImuBuffer, t, rpy, lin_acc) -> ImuBuffer:
     )
 
 
+def integrate_odom(buf: ImuBuffer, t, rpy, pos, velo) -> ImuBuffer:
+    """Append an external-odometry sample (the ``use_odom`` input path,
+    LO.cpp:737-795): pose and velocity come from the message instead of
+    being integrated from accelerations."""
+    k = jnp.minimum(buf.count, buf.times.shape[0] - 1)
+    return ImuBuffer(
+        times=buf.times.at[k].set(t),
+        rpy=buf.rpy.at[k].set(rpy),
+        velo=buf.velo.at[k].set(velo),
+        shift=buf.shift.at[k].set(pos),
+        count=buf.count + 1,
+    )
+
+
 def _interp(buf: ImuBuffer, t):
     """Linear interpolation of rpy/shift/velo at times t [N]."""
     hi = jnp.clip(jnp.searchsorted(buf.times, t), 1, buf.times.shape[0] - 1)

@@ -29,22 +29,38 @@ class World:
 
 
 def make_world(seed: int = 0, n_boxes: int = 14, n_cyl: int = 12,
-               extent: float = 60.0, ground_z: float = -1.5) -> World:
+               extent: float = 60.0, ground_z: float = -1.5,
+               clear_path: Optional[np.ndarray] = None,
+               clear_margin: float = 6.0) -> World:
+    """Random world; primitives are pushed away from ``clear_path`` (xy
+    positions the sensor will visit) so trajectories never enter geometry."""
     rng = np.random.default_rng(seed)
+    if clear_path is None:
+        clear_path = np.zeros((1, 2))
+
+    def clear(cx, cy, half_size):
+        d = np.hypot(clear_path[:, 0] - cx, clear_path[:, 1] - cy).min()
+        need = clear_margin + half_size
+        if d < need:
+            # push radially away from the nearest path point
+            k = np.argmin(np.hypot(clear_path[:, 0] - cx, clear_path[:, 1] - cy))
+            vx, vy = cx - clear_path[k, 0], cy - clear_path[k, 1]
+            n = np.hypot(vx, vy) or 1.0
+            cx += vx / n * (need - d + 1.0)
+            cy += vy / n * (need - d + 1.0)
+        return cx, cy
+
     boxes = []
     for _ in range(n_boxes):
         cx, cy = rng.uniform(-extent, extent, 2)
-        # keep a corridor clear around the origin loop
-        if np.hypot(cx, cy) < 12.0:
-            cx += np.sign(cx or 1.0) * 14.0
         w, d = rng.uniform(2.0, 10.0, 2)
+        cx, cy = clear(cx, cy, max(w, d) / 2)
         h = rng.uniform(2.0, 6.0)
         boxes.append([cx - w / 2, cy - d / 2, ground_z, cx + w / 2, cy + d / 2, ground_z + h])
     cyls = []
     for _ in range(n_cyl):
         cx, cy = rng.uniform(-extent, extent, 2)
-        if np.hypot(cx, cy) < 12.0:
-            cy += np.sign(cy or 1.0) * 14.0
+        cx, cy = clear(cx, cy, 0.5)
         r = rng.uniform(0.1, 0.4)
         h = rng.uniform(3.0, 7.0)
         cyls.append([cx, cy, r, ground_z + h])

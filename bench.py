@@ -39,9 +39,9 @@ def main():
     n_frames = int(os.environ.get("BENCH_FRAMES", "24"))
 
     log("rendering synthetic sequence...")
-    world = synthetic.make_world(seed=100)
     poses = synthetic.loop_trajectory(n_frames, radius=30.0, speed=1.0,
                                       closed=False)
+    world = synthetic.make_world(seed=100, clear_path=poses[:, :2, 3])
     t0 = time.time()
     pts, mask = synthetic.render_sequence(world, poses, cfg, noise=0.01)
     log(f"rendered {n_frames} frames in {time.time() - t0:.1f}s")

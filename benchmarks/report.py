@@ -47,10 +47,10 @@ def main(argv=None):
     report = {"backend": jax.default_backend(), "frames": n,
               "config": "tiny" if args.tiny else "full"}
 
-    world = synthetic.make_world(seed=77)
     # circumference-matched closed loop (~0.25 m/frame)
     radius = max(6.0, n * 0.25 / (2 * np.pi))
     poses = synthetic.loop_trajectory(n, radius=radius, closed=True)
+    world = synthetic.make_world(seed=77, clear_path=poses[:, :2, 3])
     pts, mask = synthetic.render_sequence(world, poses, cfg, noise=0.01)
 
     # --- config 1+2: odometry only ---

@@ -18,9 +18,9 @@ def test_closed_loop_fires_and_corrects():
                                       # the real sensor; mean-sq fitness sits
                                       # higher at the same alignment quality
     )
-    world = synthetic.make_world(seed=41)
     n = 40
     poses = synthetic.loop_trajectory(n, radius=8.0, closed=True)
+    world = synthetic.make_world(seed=41, clear_path=poses[:, :2, 3])
     pts, mask = synthetic.render_sequence(world, poses, cfg, noise=0.01)
 
     pipe = SlamPipeline(cfg)
