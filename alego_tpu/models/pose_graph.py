@@ -169,7 +169,9 @@ def _assemble_and_solve(g: PoseGraph, chain_sigma, loop_w_scale, damping):
 
 def optimize(g: PoseGraph, chain_sigma, iters: int = 10,
              loop_w_scale: float = 1.0, damping: float = 1e-6) -> PoseGraph:
-    """Batched GN over the whole graph (runs on loop closure)."""
+    """Batched GN over the whole graph, dense-assembled O(N^3) solve.
+
+    Reference oracle for :func:`optimize_fast`; fine for small graphs."""
     sigma = jnp.asarray(chain_sigma, g.poses.dtype)
 
     def body(_, g):
@@ -179,3 +181,114 @@ def optimize(g: PoseGraph, chain_sigma, iters: int = 10,
         return g._replace(poses=poses)
 
     return jax.lax.fori_loop(0, iters, body, g)
+
+
+def _next_pow2(n):
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def optimize_fast(g: PoseGraph, chain_sigma, iters: int = 3,
+                  loop_w_scale: float = 1.0, damping: float = 1e-4) -> PoseGraph:
+    """GN with an O(N log N) solve: block-tridiagonal cyclic reduction for
+    the chain + prior, Woodbury identity for the low-rank loop term.
+
+    Exactly the same linear system as :func:`optimize` — the chain Hessian is
+    block-tridiagonal and each loop factor adds a rank-6 symmetric update
+    ``A_l^T W_l A_l`` with ``A_l = [.. Ji .. Jj ..]``.
+    """
+    from ..ops.block_tridiag import block_tridiag_solve
+
+    N = g.poses.shape[0]
+    Np = _next_pow2(N)
+    Lf = g.loop_w.shape[0]
+    dtype = g.poses.dtype
+    sigma = jnp.asarray(chain_sigma, dtype)
+    info_c = 1.0 / sigma
+
+    def gn_iter(g: PoseGraph) -> PoseGraph:
+        idx = jnp.arange(N)
+        active = idx < g.count
+
+        # ---- chain + prior: tridiagonal assembly ----
+        Xi = g.poses[jnp.maximum(idx - 1, 0)]
+        Xj = g.poses
+        r_c, Ji_c, Jj_c = _between_residual(Xi, Xj, g.chain_rel)
+        w_c = (active & (idx > 0)).astype(dtype)
+        WJi = Ji_c * (w_c[:, None, None] * info_c[None, :, None])
+        WJj = Jj_c * (w_c[:, None, None] * info_c[None, :, None])
+
+        D = jnp.zeros((Np, 6, 6), dtype)
+        Lo = jnp.zeros((Np, 6, 6), dtype)
+        Up = jnp.zeros((Np, 6, 6), dtype)
+        b = jnp.zeros((Np, 6), dtype)
+
+        i_prev = jnp.maximum(idx - 1, 0)
+        D = D.at[i_prev].add(jnp.einsum("nki,nkj->nij", Ji_c, WJi))
+        D = D.at[idx].add(jnp.einsum("nki,nkj->nij", Jj_c, WJj))
+        # factor i couples (i-1, i): U[i-1] and L[i]
+        Up = Up.at[i_prev].add(jnp.einsum("nki,nkj->nij", Ji_c, WJj)
+                               * w_c[:, None, None])
+        Lo = Lo.at[idx].add(jnp.einsum("nki,nkj->nij", Jj_c, WJi)
+                            * w_c[:, None, None])
+        b = b.at[i_prev].add(jnp.einsum("nki,nk->ni", WJi, r_c))
+        b = b.at[idx].add(jnp.einsum("nki,nk->ni", WJj, r_c))
+
+        w_p = (g.count > 0).astype(dtype)
+        r_p = se3.se3_log(se3.inv_mat(g.chain_rel[0]) @ g.poses[0])
+        D = D.at[0].add(jnp.diag(info_c * w_p))
+        b = b.at[0].add(info_c * w_p * r_p)
+
+        # inactive/padding nodes: identity diag, zero couplings/rhs
+        act_p = jnp.concatenate([active, jnp.zeros(Np - N, bool)])
+        af = act_p.astype(dtype)[:, None, None]
+        I6 = jnp.eye(6, dtype=dtype)
+        D = D * af + (1.0 - af) * I6 + damping * I6
+        Lo = Lo * af * jnp.concatenate(
+            [jnp.zeros(1, dtype), act_p.astype(dtype)[:-1]])[:, None, None]
+        Up = Up * af * jnp.concatenate(
+            [act_p.astype(dtype)[1:], jnp.zeros(1, dtype)])[:, None, None]
+        b = b * act_p.astype(dtype)[:, None]
+
+        # ---- loop factors: gradient + low-rank Woodbury blocks ----
+        Xl_i = g.poses[g.loop_i]
+        Xl_j = g.poses[g.loop_j]
+        r_l, Ji_l, Jj_l = _between_residual(Xl_i, Xl_j, g.loop_rel)
+        l_act = (jnp.arange(Lf) < g.loop_count)
+        w_l = jnp.where(l_act, g.loop_w, 0.0) * loop_w_scale
+
+        b = b.at[g.loop_i].add(
+            jnp.einsum("lki,lk->li", Ji_l, r_l) * w_l[:, None])
+        b = b.at[g.loop_j].add(
+            jnp.einsum("lki,lk->li", Jj_l, r_l) * w_l[:, None])
+
+        # V [Np, 6, 6L]: V[i_l, :, l] = Ji_l^T, V[j_l, :, l] = Jj_l^T,
+        # masked by loop activity (weights enter through W)
+        lw = l_act.astype(dtype)[:, None, None]
+        V = jnp.zeros((Np, 6, Lf, 6), dtype)
+        V = V.at[g.loop_i, :, jnp.arange(Lf), :].add(
+            jnp.swapaxes(Ji_l, 1, 2) * lw)
+        V = V.at[g.loop_j, :, jnp.arange(Lf), :].add(
+            jnp.swapaxes(Jj_l, 1, 2) * lw)
+        V = V.reshape(Np, 6, Lf * 6)
+
+        # ---- solve (T + V W V^T) delta = -b via Woodbury ----
+        B_all = jnp.concatenate([-b[:, :, None], V], axis=2)   # [Np,6,1+6L]
+        Y = block_tridiag_solve(D, Lo, Up, B_all)
+        y = Y[:, :, 0]
+        Z = Y[:, :, 1:]
+
+        VtZ = jnp.einsum("nik,nil->kl", V, Z)                  # [6L, 6L]
+        Vty = jnp.einsum("nik,ni->k", V, y)
+        w_rep = jnp.repeat(jnp.maximum(w_l, 1e-12), 6)
+        core = jnp.diag(1.0 / w_rep) + VtZ
+        corr = Z @ jnp.linalg.solve(core, Vty)
+        delta = (y - corr)[:N]
+
+        upd = g.poses @ se3.se3_exp(delta)
+        poses = jnp.where(active[:, None, None], upd, g.poses)
+        return g._replace(poses=poses)
+
+    return jax.lax.fori_loop(0, iters, lambda _, g: gn_iter(g), g)
