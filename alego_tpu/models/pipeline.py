@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..config import PipelineConfig
 from ..ops.features import extract_features
-from ..ops import se3, deskew
+from ..ops import deskew
 from .image_projection import image_projection
 from . import laser_odometry as lo
 from . import laser_mapping as lm

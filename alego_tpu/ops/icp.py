@@ -16,8 +16,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-import jax as _jax
-
 from .knn import nn1 as _nn1_xla
 
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import PipelineConfig
-from .projection import RangeImage, INVALID_RANGE
+from .projection import RangeImage
 
 
 class SegmentedScan(NamedTuple):

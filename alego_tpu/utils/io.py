@@ -10,7 +10,6 @@ prefers the native C++ reader (``alego_tpu/runtime``) when built.
 from __future__ import annotations
 
 import os
-import struct
 
 import numpy as np
 
@@ -71,8 +70,6 @@ def read_pcd_py(path: str) -> np.ndarray:
             arr = np.stack([rec[name].astype(np.float64)
                             for name in rec.dtype.names], -1)
         elif data_mode == "binary_compressed":
-            import lzf  # pragma: no cover - optional
-
             raise NotImplementedError("binary_compressed PCD not supported")
         else:
             raise ValueError(f"unknown PCD DATA mode {data_mode}")
