@@ -314,9 +314,11 @@ def loop_closure_step(ms: MappingState, cfg: PipelineConfig):
             rel = se3.inv_mat(T_corrected) @ ms.graph.poses[closest]
             weight = 1.0 / jnp.maximum(res.fitness, 1e-3)
             g = pg.add_loop_factor(ms.graph, latest, closest, rel, weight)
-            # O(N log N) cyclic-reduction + Woodbury solve (vs O(N^3) dense)
-            g = pg.optimize_fast(g, cfg.pose_graph_chain_sigma,
-                                 iters=cfg.pose_graph_gn_iters)
+            # tiered dense GN: pivoted LU over the active prefix only.
+            # (The O(N) Thomas/Woodbury path in optimize_fast loses ~1e0
+            # relative accuracy in f32 on stiff chains — kept experimental.)
+            g = pg.optimize(g, cfg.pose_graph_chain_sigma,
+                            iters=cfg.pose_graph_gn_iters)
             # correctPoses map2odom rebase (LM.cpp:725-726); keyframe poses
             # moved -> cached local map is stale
             T_m2o = res.transform @ ms.T_map2odom

@@ -163,7 +163,31 @@ def _assemble_and_solve(g: PoseGraph, chain_sigma, loop_w_scale, damping):
     Hd = Hd + damping * jnp.eye(N * 6, dtype=dtype)
     bd = b.reshape(-1) * act
 
-    delta = -jnp.linalg.solve(Hd, bd).reshape(N, 6)
+    # Tiered solve: only the leading active prefix participates (inactive
+    # rows are identity), so solve the smallest power-of-two prefix that
+    # covers ``count``.  O(size^3) drops 64x while count <= N/4.  Note: a
+    # pivoted dense LU is required here — sequential block elimination
+    # (Thomas / cyclic reduction) loses ~1e0 relative accuracy in f32 on
+    # these stiff chain Hessians (see ops/block_tridiag docstring).
+    sizes = []
+    s = 64
+    while s < N:
+        sizes.append(s)
+        s *= 2
+    sizes.append(N)
+
+    def solve_at(size):
+        def f(_):
+            sub = -jnp.linalg.solve(Hd[: size * 6, : size * 6], bd[: size * 6])
+            return jnp.concatenate([sub, jnp.zeros(N * 6 - size * 6, dtype)])
+        return f
+
+    if len(sizes) == 1:
+        delta = solve_at(N)(None).reshape(N, 6)
+    else:
+        tier = sum(jnp.asarray(g.count > s, jnp.int32) for s in sizes[:-1])
+        delta = jax.lax.switch(tier, [solve_at(s) for s in sizes],
+                               None).reshape(N, 6)
     return delta, active
 
 
@@ -191,15 +215,19 @@ def _next_pow2(n):
 
 
 def optimize_fast(g: PoseGraph, chain_sigma, iters: int = 3,
-                  loop_w_scale: float = 1.0, damping: float = 1e-4) -> PoseGraph:
-    """GN with an O(N log N) solve: block-tridiagonal cyclic reduction for
-    the chain + prior, Woodbury identity for the low-rank loop term.
+                  loop_w_scale: float = 1.0, damping: float = 1e-6) -> PoseGraph:
+    """EXPERIMENTAL: GN with an O(N) structured solve (block-Thomas chain
+    elimination + Woodbury loop term).  Mathematically exact and validated at
+    small scale, but *unpivoted* sequential elimination loses ~1e0 relative
+    accuracy in f32 over long stiff chains (N ~ 500), where pivoted dense LU
+    keeps 1e-7 — use :func:`optimize` (tiered dense) in production until a
+    compensated/mixed-precision sweep lands.
 
     Exactly the same linear system as :func:`optimize` — the chain Hessian is
     block-tridiagonal and each loop factor adds a rank-6 symmetric update
     ``A_l^T W_l A_l`` with ``A_l = [.. Ji .. Jj ..]``.
     """
-    from ..ops.block_tridiag import block_tridiag_solve
+    from ..ops.block_tridiag import block_thomas_solve
 
     N = g.poses.shape[0]
     Np = _next_pow2(N)
@@ -276,7 +304,7 @@ def optimize_fast(g: PoseGraph, chain_sigma, iters: int = 3,
 
         # ---- solve (T + V W V^T) delta = -b via Woodbury ----
         B_all = jnp.concatenate([-b[:, :, None], V], axis=2)   # [Np,6,1+6L]
-        Y = block_tridiag_solve(D, Lo, Up, B_all)
+        Y = block_thomas_solve(D, Lo, Up, B_all)
         y = Y[:, :, 0]
         Z = Y[:, :, 1:]
 

@@ -22,6 +22,42 @@ def _inv6(A):
     return jnp.linalg.solve(A, I)
 
 
+def block_thomas_solve(D, L, U, B):
+    """Sequential block-Thomas solve (backward-stable for SPD systems).
+
+    Cyclic reduction (below) is O(log N) parallel steps but numerically
+    unstable on stiff pose-graph chains (not diagonally dominant: off-diagonal
+    blocks rival the diagonal); Thomas is sequential but stable, and under
+    ``lax.scan`` each 6x6 step costs microseconds — still ~50x cheaper than
+    the dense O(N^3) solve at N=512.
+
+    D [N,6,6], L [N,6,6] (sub, L[0] ignored), U [N,6,6] (super, U[N-1]
+    ignored), B [N,6,K] -> X [N,6,K].
+    """
+    N = D.shape[0]
+
+    def fwd(carry, inp):
+        Cp, Bp = carry                       # C'_{i-1} [6,6], B'_{i-1} [6,K]
+        Di, Li, Ui, bi = inp
+        denom = Di - Li @ Cp
+        sol = jnp.linalg.solve(denom, jnp.concatenate([Ui, bi - Li @ Bp], 1))
+        Ci = sol[:, :6]
+        Bi = sol[:, 6:]
+        return (Ci, Bi), (Ci, Bi)
+
+    K = B.shape[-1]
+    init = (jnp.zeros((6, 6), D.dtype), jnp.zeros((6, K), D.dtype))
+    _, (C, Bp) = jax.lax.scan(fwd, init, (D, L, U, B))
+
+    def bwd(x_next, inp):
+        Ci, Bi = inp
+        xi = Bi - Ci @ x_next
+        return xi, xi
+
+    _, X = jax.lax.scan(bwd, jnp.zeros((6, K), D.dtype), (C, Bp), reverse=True)
+    return X
+
+
 def block_tridiag_solve(D, L, U, B):
     """Solve the block-tridiagonal system for [N, 6, K] right-hand sides.
 

@@ -66,3 +66,23 @@ def test_cyclic_reduction_decoupled_identity_blocks():
     np.testing.assert_allclose(X[:act].reshape(act * 6, 1), want, rtol=2e-3,
                                atol=2e-3)
     np.testing.assert_allclose(X[act:], 0, atol=1e-6)
+
+
+def test_thomas_matches_dense_stiff_chain():
+    """Thomas stays stable on the stiff, non-diagonally-dominant chains that
+    break cyclic reduction."""
+    from alego_tpu.ops.block_tridiag import block_thomas_solve
+
+    rng = np.random.default_rng(3)
+    N = 512
+    C = np.eye(6, dtype=np.float32) * 1e4
+    D = np.tile(2 * C + np.eye(6, dtype=np.float32), (N, 1, 1))
+    U = np.tile(-C, (N, 1, 1)); U[-1] = 0
+    L = np.tile(-C, (N, 1, 1)); L[0] = 0
+    B = rng.normal(size=(N, 6, 2)).astype(np.float32)
+    X = np.asarray(block_thomas_solve(jnp.asarray(D), jnp.asarray(L),
+                                      jnp.asarray(U), jnp.asarray(B)))
+    H = _dense(D, L, U)
+    want = np.linalg.solve(H.astype(np.float64), B.reshape(N * 6, 2))
+    denom = np.abs(want).max()
+    assert np.abs(X.reshape(N * 6, 2) - want).max() / denom < 1e-3

@@ -54,3 +54,24 @@ def test_fast_non_pow2_capacity():
     g, _ = _graph_with_loops(10, 24, 1, seed=2)   # capacity 24 pads to 32
     fast = pg.optimize_fast(g, (1e-4,) * 6, iters=2)
     assert np.isfinite(np.asarray(fast.poses)).all()
+
+
+def test_tiered_dense_solve_at_full_scale():
+    """512-capacity graph, long active chain + loops: the tiered dense GN
+    (prefix-sized pivoted LU) converges to the chain/loop-consistent truth.
+    (optimize_fast is excluded here: unpivoted f32 elimination diverges on
+    stiff chains at this depth — documented in its docstring.)"""
+    g, truth = _graph_with_loops(480, 512, 4, seed=5)
+    sigma = (1e-4,) * 6
+    dense = pg.optimize(g, sigma, iters=8)
+    err = np.abs(np.asarray(dense.poses)[:480] - truth).max()
+    assert err < 1.0, err
+
+
+def test_tiered_solve_small_count_in_large_capacity():
+    """count < 64 in a 512-capacity graph uses the smallest solve tier and
+    still matches truth."""
+    g, truth = _graph_with_loops(20, 512, 1, seed=6)
+    dense = pg.optimize(g, (1e-4,) * 6, iters=3)
+    err = np.abs(np.asarray(dense.poses)[:20] - truth).max()
+    assert err < 0.05, err
