@@ -191,11 +191,10 @@ def _assemble_and_solve(g: PoseGraph, chain_sigma, loop_w_scale, damping):
     return delta, active
 
 
-def optimize(g: PoseGraph, chain_sigma, iters: int = 10,
-             loop_w_scale: float = 1.0, damping: float = 1e-6) -> PoseGraph:
-    """Batched GN over the whole graph, dense-assembled O(N^3) solve.
-
-    Reference oracle for :func:`optimize_fast`; fine for small graphs."""
+def optimize_dense(g: PoseGraph, chain_sigma, iters: int = 10,
+                   loop_w_scale: float = 1.0, damping: float = 1e-6
+                   ) -> PoseGraph:
+    """GN with full O(N^2)-memory dense assembly — the simple oracle."""
     sigma = jnp.asarray(chain_sigma, g.poses.dtype)
 
     def body(_, g):
@@ -205,6 +204,115 @@ def optimize(g: PoseGraph, chain_sigma, iters: int = 10,
         return g._replace(poses=poses)
 
     return jax.lax.fori_loop(0, iters, body, g)
+
+
+def optimize(g: PoseGraph, chain_sigma, iters: int = 10,
+             loop_w_scale: float = 1.0, damping: float = 1e-6) -> PoseGraph:
+    """Production GN: O(N) sparse assembly (tridiagonal + loop blocks), then
+    a pivoted dense solve materialised only at the smallest power-of-two tier
+    covering ``count``.  Same linear system as :func:`optimize_dense`; avoids
+    both the [N,N,6,6] assembly traffic and the full-capacity O(N^3) solve.
+    (Unpivoted O(N) solvers are NOT usable here — see :func:`optimize_fast`.)
+    """
+    N = g.poses.shape[0]
+    Lf = g.loop_w.shape[0]
+    dtype = g.poses.dtype
+    sigma = jnp.asarray(chain_sigma, dtype)
+    info_c = 1.0 / sigma
+
+    sizes = []
+    s = 64
+    while s < N:
+        sizes.append(s)
+        s *= 2
+    sizes.append(N)
+
+    def gn_iter(g: PoseGraph) -> PoseGraph:
+        idx = jnp.arange(N)
+        active = idx < g.count
+
+        # chain + prior (same math as optimize_fast's assembly)
+        Xi = g.poses[jnp.maximum(idx - 1, 0)]
+        Xj = g.poses
+        r_c, Ji_c, Jj_c = _between_residual(Xi, Xj, g.chain_rel)
+        w_c = (active & (idx > 0)).astype(dtype)
+        WJi = Ji_c * (w_c[:, None, None] * info_c[None, :, None])
+        WJj = Jj_c * (w_c[:, None, None] * info_c[None, :, None])
+
+        D = jnp.zeros((N, 6, 6), dtype)
+        Lo = jnp.zeros((N, 6, 6), dtype)
+        Up = jnp.zeros((N, 6, 6), dtype)
+        b = jnp.zeros((N, 6), dtype)
+        i_prev = jnp.maximum(idx - 1, 0)
+        D = D.at[i_prev].add(jnp.einsum("nki,nkj->nij", Ji_c, WJi))
+        D = D.at[idx].add(jnp.einsum("nki,nkj->nij", Jj_c, WJj))
+        Up = Up.at[i_prev].add(jnp.einsum("nki,nkj->nij", Ji_c, WJj))
+        Lo = Lo.at[idx].add(jnp.einsum("nki,nkj->nij", Jj_c, WJi))
+        b = b.at[i_prev].add(jnp.einsum("nki,nk->ni", WJi, r_c))
+        b = b.at[idx].add(jnp.einsum("nki,nk->ni", WJj, r_c))
+
+        w_p = (g.count > 0).astype(dtype)
+        r_p = se3.se3_log(se3.inv_mat(g.chain_rel[0]) @ g.poses[0])
+        D = D.at[0].add(jnp.diag(info_c * w_p))
+        b = b.at[0].add(info_c * w_p * r_p)
+
+        # loop factors: diagonal terms fold into D, off-diagonals kept as
+        # per-loop blocks for the tier scatter
+        Xl_i = g.poses[g.loop_i]
+        Xl_j = g.poses[g.loop_j]
+        r_l, Ji_l, Jj_l = _between_residual(Xl_i, Xl_j, g.loop_rel)
+        w_l = jnp.where(jnp.arange(Lf) < g.loop_count, g.loop_w, 0.0) \
+            * loop_w_scale
+        WJi_l = Ji_l * w_l[:, None, None]
+        WJj_l = Jj_l * w_l[:, None, None]
+        D = D.at[g.loop_i].add(jnp.einsum("lki,lkj->lij", Ji_l, WJi_l))
+        D = D.at[g.loop_j].add(jnp.einsum("lki,lkj->lij", Jj_l, WJj_l))
+        Hij = jnp.einsum("lki,lkj->lij", Ji_l, WJj_l)
+        Hji = jnp.einsum("lki,lkj->lij", Jj_l, WJi_l)
+        b = b.at[g.loop_i].add(jnp.einsum("lki,lk->li", WJi_l, r_l))
+        b = b.at[g.loop_j].add(jnp.einsum("lki,lk->li", WJj_l, r_l))
+
+        # masking: inactive nodes decouple to identity
+        af = active.astype(dtype)[:, None, None]
+        I6 = jnp.eye(6, dtype=dtype)
+        D = D * af + (1.0 - af) * I6 + damping * I6
+        Lo = Lo * af * jnp.concatenate(
+            [jnp.zeros(1, dtype), active.astype(dtype)[:-1]])[:, None, None]
+        Up = Up * af * jnp.concatenate(
+            [active.astype(dtype)[1:], jnp.zeros(1, dtype)])[:, None, None]
+        b = b * active.astype(dtype)[:, None]
+
+        def solve_at(size):
+            def f(_):
+                ar = jnp.arange(size)
+                H4 = jnp.zeros((size, size, 6, 6), dtype)
+                H4 = H4.at[ar, ar].set(D[:size])
+                H4 = H4.at[ar[:-1], ar[1:]].set(Up[: size - 1])
+                H4 = H4.at[ar[1:], ar[:-1]].set(Lo[1:size])
+                # loop endpoints always < count <= size
+                li = jnp.clip(g.loop_i, 0, size - 1)
+                lj = jnp.clip(g.loop_j, 0, size - 1)
+                H4 = H4.at[li, lj].add(Hij)
+                H4 = H4.at[lj, li].add(Hji)
+                Hd = H4.transpose(0, 2, 1, 3).reshape(size * 6, size * 6)
+                sub = -jnp.linalg.solve(Hd, b[:size].reshape(-1))
+                return jnp.concatenate(
+                    [sub, jnp.zeros((N - size) * 6, dtype)])
+            return f
+
+        if len(sizes) == 1:
+            delta = solve_at(N)(None).reshape(N, 6)
+        else:
+            tier = sum(jnp.asarray(g.count > s_, jnp.int32)
+                       for s_ in sizes[:-1])
+            delta = jax.lax.switch(tier, [solve_at(s_) for s_ in sizes],
+                                   None).reshape(N, 6)
+
+        upd = g.poses @ se3.se3_exp(delta)
+        poses = jnp.where(active[:, None, None], upd, g.poses)
+        return g._replace(poses=poses)
+
+    return jax.lax.fori_loop(0, iters, lambda _, g: gn_iter(g), g)
 
 
 def _next_pow2(n):
