@@ -85,27 +85,56 @@ def _transform_kf_clouds(poses, pts, valid):
     return jnp.where(valid[..., None], out, 0.0)
 
 
-def _build_local_map(ms: MappingState, cfg: PipelineConfig):
-    """Last-50-keyframes local map, voxel-merged (LM.cpp:351-468).
+def _build_local_map(ms: MappingState, cfg: PipelineConfig,
+                     T_pred: jnp.ndarray | None = None):
+    """Local feature map, voxel-merged (LM.cpp:339-468).
 
-    The recent-keyframe window is contiguous, so clouds come out via
-    ``dynamic_slice`` (fast) rather than row gathers (slow on TPU)."""
+    Loop-closure mode (default): the last ``recent_keyframe_search_num``
+    keyframes — a contiguous window, fetched with ``dynamic_slice``
+    (LM.cpp:351-388).  Radius mode (``loop_closure_enabled=False``): the K
+    nearest keyframes within ``surround_keyframe_search_radius`` of the
+    predicted pose (LM.cpp:390-458), selected by top-k and row-gathered.
+    """
     K = cfg.recent_keyframe_search_num
     count = ms.graph.count
-    start = jnp.clip(count - K, 0, cfg.max_keyframes - K)
-    raw_idx = jnp.arange(K, dtype=jnp.int32) + start
-    kf_ok = (raw_idx < count) & (count > 0)
 
-    def slc(a):
-        return jax.lax.dynamic_slice_in_dim(a, start, K, axis=0)
+    if cfg.loop_closure_enabled or T_pred is None:
+        start = jnp.clip(count - K, 0, cfg.max_keyframes - K)
+        raw_idx = jnp.arange(K, dtype=jnp.int32) + start
+        kf_ok = (raw_idx < count) & (count > 0)
 
-    poses = slc(ms.graph.poses)
-    c_valid = slc(ms.kf_corner_valid) & kf_ok[:, None]
-    s_valid = slc(ms.kf_surf_valid) & kf_ok[:, None]
-    o_valid = slc(ms.kf_outlier_valid) & kf_ok[:, None]
-    c_pts = _transform_kf_clouds(poses, slc(ms.kf_corner), c_valid)
-    s_pts = _transform_kf_clouds(poses, slc(ms.kf_surf), s_valid)
-    o_pts = _transform_kf_clouds(poses, slc(ms.kf_outlier), o_valid)
+        def slc(a):
+            return jax.lax.dynamic_slice_in_dim(a, start, K, axis=0)
+
+        poses = slc(ms.graph.poses)
+        sel_corner = slc(ms.kf_corner)
+        sel_surf = slc(ms.kf_surf)
+        sel_outlier = slc(ms.kf_outlier)
+        c_valid = slc(ms.kf_corner_valid) & kf_ok[:, None]
+        s_valid = slc(ms.kf_surf_valid) & kf_ok[:, None]
+        o_valid = slc(ms.kf_outlier_valid) & kf_ok[:, None]
+    else:
+        cur = T_pred[:3, 3]
+        kp = ms.graph.poses[:, :3, 3]
+        idx_all = jnp.arange(cfg.max_keyframes)
+        act = (idx_all < count)
+        d2 = jnp.sum((kp - cur) ** 2, -1)
+        r2 = cfg.surround_keyframe_search_radius ** 2
+        elig = act & (d2 < r2)
+        score = jnp.where(elig, -d2, -1e30)
+        _, sel = jax.lax.top_k(score, K)          # K nearest eligible
+        kf_ok = elig[sel]
+        poses = ms.graph.poses[sel]
+        sel_corner = ms.kf_corner[sel]
+        sel_surf = ms.kf_surf[sel]
+        sel_outlier = ms.kf_outlier[sel]
+        c_valid = ms.kf_corner_valid[sel] & kf_ok[:, None]
+        s_valid = ms.kf_surf_valid[sel] & kf_ok[:, None]
+        o_valid = ms.kf_outlier_valid[sel] & kf_ok[:, None]
+
+    c_pts = _transform_kf_clouds(poses, sel_corner, c_valid)
+    s_pts = _transform_kf_clouds(poses, sel_surf, s_valid)
+    o_pts = _transform_kf_clouds(poses, sel_outlier, o_valid)
 
     map_corner, map_corner_valid = voxel_downsample(
         c_pts.reshape(-1, 3), c_valid.reshape(-1), cfg.corner_leaf,
@@ -188,12 +217,18 @@ def mapping_step(ms: MappingState, T_odom2laser: jnp.ndarray,
     T_pred = ms.T_map2odom @ T_odom2laser
 
     def rebuild(ms):
-        mc, mco, msf, msfo = _build_local_map(ms, cfg)
+        mc, mco, msf, msfo = _build_local_map(ms, cfg, T_pred)
         return ms._replace(map_corner=mc, map_corner_valid=mco,
                            map_surf=msf, map_surf_valid=msfo,
                            map_dirty=jnp.bool_(False))
 
-    ms = jax.lax.cond(ms.map_dirty, rebuild, lambda m: m, ms)
+    if cfg.loop_closure_enabled:
+        ms = jax.lax.cond(ms.map_dirty, rebuild, lambda m: m, ms)
+    else:
+        # radius mode: the surround set depends on the current pose, so the
+        # map refreshes every mapping frame (reference re-merges each frame
+        # in this branch too, LM.cpp:452-457)
+        ms = rebuild(ms)
     map_c, map_c_ok = ms.map_corner, ms.map_corner_valid
     map_s, map_s_ok = ms.map_surf, ms.map_surf_valid
     (c_ds, c_ok, s_ds, s_ok, o_ds, o_ok, st_ds, st_ok) = _downsample_scan(

@@ -71,3 +71,30 @@ def test_export_map_and_checkpoint(tmp_path):
                                np.asarray(pipe.state.mapping.T_map2odom))
     # resumed pipeline keeps processing
     pipe2.process(pts[-1], mask[-1])
+
+
+def test_radius_mode_local_map():
+    """loop_closure_enabled=False uses the radius-search surround map
+    (LM.cpp:390-458) and stays accurate."""
+    cfg = _cfg().replace(loop_closure_enabled=False)
+    world = synthetic.make_world(seed=34)
+    n = 14
+    poses = synthetic.loop_trajectory(n, radius=28.0, speed=1.0, closed=False)
+    pts, mask = synthetic.render_sequence(world, poses, cfg, noise=0.01)
+    pipe = SlamPipeline(cfg)
+    est = pipe.run_scanned(pts, mask)
+    ate = metrics.ate_rmse(est[:, :3, 3], poses[:, :3, 3], align=False)
+    assert ate < 0.5, ate
+    # distant keyframes excluded: fake a far-away early keyframe and check
+    # the map builder drops it
+    import jax.numpy as jnp
+    from alego_tpu.models import laser_mapping as lm
+    ms = pipe.state.mapping
+    far_pose = jnp.eye(4).at[0, 3].set(1e4)
+    g = ms.graph._replace(poses=ms.graph.poses.at[0].set(far_pose))
+    ms2 = ms._replace(graph=g)
+    T_pred = ms.T_map2laser
+    mc, mco, msf, msfo = lm._build_local_map(ms2, cfg, T_pred)
+    mc_in, mco_in, _, _ = lm._build_local_map(ms, cfg, T_pred)
+    # the far keyframe's points are gone from the map
+    assert int(mco.sum()) <= int(mco_in.sum())
