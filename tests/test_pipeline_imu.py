@@ -39,3 +39,18 @@ def test_profiling_utils():
         pass
     rep = st.report()
     assert "a:" in rep and "x 2" in rep
+
+
+def test_lslidar_c16_sensor_path():
+    """The uniform-row LSLIDAR_C16 table (IP.cpp:140) runs E2E."""
+    from alego_tpu.config import LaserType
+
+    cfg = tiny_config().replace(laser_type=LaserType.LSLIDAR_C16,
+                                loop_closure_enabled=False)
+    poses = synthetic.loop_trajectory(8, radius=28.0, speed=0.6, closed=False)
+    world = synthetic.make_world(seed=51, clear_path=poses[:, :2, 3])
+    pts, mask = synthetic.render_sequence(world, poses, cfg, noise=0.01)
+    pipe = SlamPipeline(cfg)
+    est = pipe.run_scanned(pts, mask)
+    ate = metrics.ate_rmse(est[:, :3, 3], poses[:, :3, 3], align=False)
+    assert ate < 0.8, ate
