@@ -102,3 +102,16 @@ def test_pose_graph_no_loops_is_stable():
     g2 = pg.optimize(g, (1e-4,) * 6, iters=5)
     np.testing.assert_allclose(np.asarray(g2.poses)[:N], np.stack(abs_poses),
                                atol=1e-3)
+
+
+def test_icp_coarse_to_fine_recovers_transform():
+    rng = np.random.default_rng(9)
+    tgt = rng.uniform(-10, 10, (2000, 3)).astype(np.float32)
+    true = np.array([0.5, -0.2, 0.1, 0.02, -0.01, 0.08], np.float32)
+    T = np.asarray(se3.params_to_mat(jnp.asarray(true)))
+    src = (tgt - T[:3, 3]) @ T[:3, :3]
+    res = icp.icp_coarse_to_fine(
+        jnp.asarray(src), jnp.ones(2000, bool), jnp.asarray(tgt),
+        jnp.ones(2000, bool), iters=40, max_corr_dist=5.0)
+    np.testing.assert_allclose(np.asarray(res.transform), T, atol=1e-2)
+    assert float(res.fitness) < 1e-2
