@@ -88,8 +88,8 @@ class PipelineConfig:
     surround_keyframe_search_radius: float = 50.0  # LM.cpp:183
     map_outer_iters: int = 2        # LM.cpp:505
     map_gn_iters: int = 20          # LM.cpp:615
-    map_gn_tol: float = 3e-4        # early-stop at the f32 GN step plateau
-                                    # (0.3 mm / 0.02 deg, below sensor noise)
+    map_gn_tol: float = 1e-4        # mapping GN early-stop; 3e-4 measured
+                                    # a 30% ATE cost for no fps gain
     map_knn: int = 5                # 5-NN association (LM.cpp:520,568)
     map_nn_max_dist_sq: float = 1.0  # point_dist_[4] < 1.0 (LM.cpp:521,571)
     line_eig_ratio: float = 3.0     # lambda2 > 3*lambda1 (LM.cpp:548)
