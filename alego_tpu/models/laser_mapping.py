@@ -32,7 +32,7 @@ from ..ops.voxel import voxel_downsample, voxel_downsample_exact, compact_masked
 from ..ops.eig3 import pca_line_fit, plane_fit
 from ..ops.residuals import point_to_line, point_to_plane_fitted
 from ..ops.gauss_newton import solve_gn, FULL_DIMS
-from ..ops.icp import icp_coarse_to_fine
+from ..ops.icp import icp_point_to_point
 from . import pose_graph as pg
 
 
@@ -339,7 +339,7 @@ def loop_closure_step(ms: MappingState, cfg: PipelineConfig):
         tgt, tgt_ok = voxel_downsample(pts, val, cfg.history_leaf,
                                        cfg.loop_hist_cap)
 
-        res = icp_coarse_to_fine(src, src_ok, tgt, tgt_ok, cfg.icp_iters,
+        res = icp_point_to_point(src, src_ok, tgt, tgt_ok, cfg.icp_iters,
                                  cfg.icp_max_corr_dist, cfg.icp_translation_eps)
         accept = res.converged & (res.fitness < cfg.history_fitness_score)
 
