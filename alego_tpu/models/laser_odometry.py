@@ -136,6 +136,9 @@ def odometry_step(st: OdometryState, fc: FeatureClouds, cfg: PipelineConfig):
 
     params_b = solve_gn(joint_res, params_a, cfg.odom_corner_iters, STEP_B_DIMS,
                         cfg.huber_delta, min_count=cfg.min_correspondences)
+    # with too few corners the reference skips the second ceres::Solve
+    # entirely, leaving the step-A result (LO.cpp:556-574)
+    params_b = jnp.where(enough_corners, params_b, params_a)
 
     # first frame: no previous features -> keep params (all-zero weights keep
     # GN inert anyway; make it explicit)

@@ -76,9 +76,9 @@ def occlusion_mask(seg: SegmentedScan, cfg: PipelineConfig) -> jnp.ndarray:
 
     picked = jnp.zeros(r.shape, bool)
     for l in range(0, 6):
-        picked = picked | jnp.roll(cond1, l, axis=1)       # k-l marked -> shift right
+        picked = picked | jnp.roll(cond1, -l, axis=1)      # flag at k marks k-5..k
     for l in range(1, 6):
-        picked = picked | jnp.roll(cond2, l, axis=1)
+        picked = picked | jnp.roll(cond2, l, axis=1)       # flag at k marks k+1..k+5
 
     diff_prev = jnp.abs(jnp.roll(r, 1, axis=1) - r)
     diff_next = jnp.abs(d2 - r)

@@ -65,7 +65,9 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray, leaf: float,
 
     first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]]) & alive
     run = jnp.cumsum(first.astype(jnp.int32)) - 1
-    run = jnp.where(alive, jnp.minimum(run, cap - 1), cap)
+    # overflow runs go to the drop bin (index cap), not clamped into the last
+    # slot — clamping would average unrelated cells into one phantom point
+    run = jnp.where(alive & (run < cap), run, cap)
 
     p_s = jnp.stack([xs, ys, zs], -1)
     sums = jnp.zeros((cap + 1, 3), points.dtype).at[run].add(

@@ -129,3 +129,27 @@ def sequential_feature_pick(curv: np.ndarray, col: np.ndarray, ground: np.ndarra
                     break
                 suppress_neighbors(k)
     return label
+
+
+def occlusion_mark(ranges: np.ndarray, cols: np.ndarray, n: int,
+                   depth_jump: float = 0.5, col_gap: int = 10,
+                   rel_diff: float = 0.02) -> np.ndarray:
+    """Sequential occluded/parallel point marking for one ring
+    (LO.cpp:200-229): when depth(i) - depth(i+1) > 0.5 the *far* side
+    i-5..i is marked; when depth(i+1) - depth(i) > 0.5 the far side
+    i+1..i+5 is marked; points with both neighbour range diffs > 2% of
+    range are marked parallel."""
+    W = len(ranges)
+    picked = np.zeros(W, bool)
+    for i in range(1, min(n - 1, W - 1)):
+        depth1, depth2 = ranges[i], ranges[i + 1]
+        if abs(int(cols[i]) - int(cols[i + 1])) < col_gap:
+            if depth1 - depth2 > depth_jump:
+                picked[max(i - 5, 0):i + 1] = True
+            elif depth2 - depth1 > depth_jump:
+                picked[i + 1:i + 6] = True
+        diff1 = abs(ranges[i - 1] - depth1)
+        diff2 = abs(depth2 - depth1)
+        if diff1 > rel_diff * ranges[i] and diff2 > rel_diff * ranges[i]:
+            picked[i] = True
+    return picked

@@ -156,3 +156,30 @@ def test_full_feature_extraction_on_rendered_scan():
     assert n_lf > 100
     # flats are ground points; sharps are not
     assert np.asarray(fc.sharp_ring)[np.asarray(fc.sharp_valid)].max() < cfg.n_scan
+
+
+def test_occlusion_mask_matches_sequential_oracle():
+    """Directional check: far-side points of an occlusion boundary are the
+    ones suppressed (LO.cpp:209-216) — catches a reversed roll direction."""
+    from reference_impls import occlusion_mark
+
+    cfg = tiny_config().replace(ring_width=256)
+    R, W = cfg.n_scan, 256
+    rng = np.random.default_rng(11)
+    base = np.cumsum(rng.uniform(-0.05, 0.05, (R, W)), axis=1) + 12
+    jumps = rng.random((R, W)) < 0.05
+    ranges = base + np.cumsum(jumps * rng.uniform(0.8, 4.0, (R, W)), axis=1) \
+        - np.cumsum((rng.random((R, W)) < 0.05) * rng.uniform(0.8, 4.0, (R, W)), axis=1)
+    ranges = np.abs(ranges) + 2.0
+    cols = (np.arange(W)[None, :] * 2).astype(np.int64).repeat(R, 0).reshape(R, W)
+    counts = np.full(R, W, np.int64)
+    seg = _fake_seg(ranges, cols, np.zeros((R, W), bool), counts, cfg)
+
+    got = np.asarray(features.occlusion_mask(seg, cfg))
+    for i in range(R):
+        want = occlusion_mark(ranges[i].astype(np.float32),
+                              cols[i], int(counts[i]))
+        # compare away from ring edges (vectorised version wraps; the
+        # reference's flat loop also behaves differently within 6 of the ends)
+        sl = slice(11, W - 12)
+        np.testing.assert_array_equal(got[i][sl], want[sl], err_msg=f"ring {i}")
