@@ -116,8 +116,8 @@ class PipelineConfig:
     # the chain much stiffer than loops but at a conditioning-safe ratio.
     # Order: twist [rho(3), phi(3)] variances.
     pose_graph_chain_sigma: tuple = (1e-4, 1e-4, 1e-4, 1e-4, 1e-4, 1e-4)
-    pose_graph_gn_iters: int = 3   # GN converges in 2-3 (tests); the
-                                   # 6*max_kf dense solve dominates loop cost
+    pose_graph_gn_iters: int = 3   # GN converges in 2-3 (tests); each iter
+                                   # is one O(N) factored chain solve
 
     # --- IMU (utility.h:68-70, LO.cpp:840-881) ---
     use_imu: bool = False           # de-skew call is disabled in ref (LO.cpp:184)
@@ -131,7 +131,9 @@ class PipelineConfig:
     max_flat: int = 512             # 4 x 6 x 16 = 384 rounded up
     max_less_flat: int = 8192       # less-flat after 0.4 voxel filter
     max_outlier: int = 4096         # subsampled outliers
-    max_keyframes: int = 512        # pose-graph length
+    max_keyframes: int = 2048       # pose-graph capacity (~2 km at the 1 m
+                                    # gate); overflowing keyframes are
+                                    # rejected + counted (pose_graph.overflow)
     kf_corner_cap: int = 1024       # per-keyframe stored corner points
     kf_surf_cap: int = 2048         # per-keyframe stored surf points
     kf_outlier_cap: int = 1024      # per-keyframe stored outlier points

@@ -251,17 +251,25 @@ def mapping_step(ms: MappingState, T_odom2laser: jnp.ndarray,
     is_kf = (ms.graph.count == 0) | moved
 
     def save_kf(ms):
+        # at capacity the keyframe is rejected (pg.add_keyframe counts it in
+        # graph.overflow; the host driver surfaces the condition) — never
+        # overwrite stored clouds against a frozen graph
+        at_cap = ms.graph.count >= cfg.max_keyframes
         k = jnp.minimum(ms.graph.count, cfg.max_keyframes - 1)
+
+        def wr(a, v):
+            return jnp.where(at_cap, a, a.at[k].set(v))
+
         return ms._replace(
             graph=pg.add_keyframe(ms.graph, T_new),
-            kf_times=ms.kf_times.at[k].set(time),
-            kf_corner=ms.kf_corner.at[k].set(c_ds),
-            kf_corner_valid=ms.kf_corner_valid.at[k].set(c_ok),
-            kf_surf=ms.kf_surf.at[k].set(s_ds),
-            kf_surf_valid=ms.kf_surf_valid.at[k].set(s_ok),
-            kf_outlier=ms.kf_outlier.at[k].set(o_ds),
-            kf_outlier_valid=ms.kf_outlier_valid.at[k].set(o_ok),
-            map_dirty=jnp.bool_(True),
+            kf_times=wr(ms.kf_times, time),
+            kf_corner=wr(ms.kf_corner, c_ds),
+            kf_corner_valid=wr(ms.kf_corner_valid, c_ok),
+            kf_surf=wr(ms.kf_surf, s_ds),
+            kf_surf_valid=wr(ms.kf_surf_valid, s_ok),
+            kf_outlier=wr(ms.kf_outlier, o_ds),
+            kf_outlier_valid=wr(ms.kf_outlier_valid, o_ok),
+            map_dirty=jnp.where(at_cap, ms.map_dirty, jnp.bool_(True)),
         )
 
     ms = jax.lax.cond(is_kf, save_kf, lambda m: m, ms)
@@ -349,9 +357,9 @@ def loop_closure_step(ms: MappingState, cfg: PipelineConfig):
             rel = se3.inv_mat(T_corrected) @ ms.graph.poses[closest]
             weight = 1.0 / jnp.maximum(res.fitness, 1e-3)
             g = pg.add_loop_factor(ms.graph, latest, closest, rel, weight)
-            # tiered dense GN: pivoted LU over the active prefix only.
-            # (The O(N) Thomas/Woodbury path in optimize_fast loses ~1e0
-            # relative accuracy in f32 on stiff chains — kept experimental.)
+            # factored O(N) GN (ops/chain_solver): the full relinearised
+            # solve runs here, where the reference spends its iSAM2 update
+            # x2 (LM.cpp:880-881)
             g = pg.optimize(g, cfg.pose_graph_chain_sigma,
                             iters=cfg.pose_graph_gn_iters)
             # correctPoses map2odom rebase (LM.cpp:725-726); keyframe poses

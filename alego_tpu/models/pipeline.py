@@ -112,6 +112,21 @@ class SlamPipeline:
         self.poses = []
         self.odom_poses = []
         self._frame = 0
+        self._overflow_warned = False
+
+    def _check_overflow(self):
+        """Surface the explicit keyframe-capacity policy (pose_graph
+        docstring): dropped keyframes are counted, never silent."""
+        if self._overflow_warned:
+            return
+        ov = int(self.state.mapping.graph.overflow)
+        if ov:
+            import warnings
+            warnings.warn(
+                f"pose-graph at capacity ({self.cfg.max_keyframes}): {ov} "
+                "keyframes rejected; raise cfg.max_keyframes for longer "
+                "sequences", RuntimeWarning)
+            self._overflow_warned = True
 
     def add_imu(self, t: float, rpy, lin_acc):
         """Feed one IMU sample (the /imu/data handler, LO.cpp:840-881)."""
@@ -131,6 +146,8 @@ class SlamPipeline:
         pose_np = np.asarray(pose)
         self.poses.append(pose_np)
         self.odom_poses.append(np.asarray(self.state.T_odom2laser))
+        if self._frame % 128 == 0:
+            self._check_overflow()
         return pose_np
 
     def run(self, points_seq: np.ndarray, mask_seq: np.ndarray) -> np.ndarray:
@@ -157,6 +174,7 @@ class SlamPipeline:
         est = np.asarray(est)
         self._frame += n
         self.poses.extend(est)
+        self._check_overflow()
         return est
 
     # ---- /save_map equivalent (LM.cpp:1007-1055) ----

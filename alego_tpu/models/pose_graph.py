@@ -2,18 +2,31 @@
 
 The reference maintains a gtsam ``ISAM2`` with a prior on pose 0, odometry
 ``BetweenFactor``s along the keyframe chain, and loop-closure between factors
-(``/root/reference/src/LM.cpp:197-204, 636-704, 878-882``).  At this system's
-scale the honest TPU-native design is batched Gauss-Newton over the whole
-graph: the factor set is three fixed-shape arrays (prior, chain, loops), the
-residual is the right-trivialised ``Log(Z^-1 Xi^-1 Xj)``, Jacobians use the
-standard adjoint closed forms with the small-residual ``Jr^-1 ~ I + ad(r)/2``
-approximation, and the normal equations are assembled densely (6N x 6N) and
-solved by Cholesky — a few-thousand-dof solve, microseconds of MXU time.
+(``/root/reference/src/LM.cpp:197-204, 636-704, 878-882``).  The TPU-native
+design is batched Gauss-Newton over the whole graph: the factor set is three
+fixed-shape arrays (prior, chain, loops), the residual is the
+right-trivialised ``Log(Z^-1 Xi^-1 Xj)``, and Jacobians use the standard
+adjoint closed forms with the small-residual ``Jr^-1 ~ I + ad(r)/2``
+approximation.
+
+Production solve (:func:`optimize`): the chain+prior normal matrix is exactly
+``J^T Info J`` with ``J`` square block-bidiagonal, so its inverse is applied
+by two associative-scan triangular solves without ever forming the Hessian
+(``ops/chain_solver`` — O(N) work, O(log N) depth, f32-stable); the L loop
+factors fold in via the matrix inversion lemma with a 6L x 6L core solve.
+:func:`optimize_dense` keeps the dense-assembly pivoted-LU formulation as the
+test oracle.
 
 Incremental behaviour mimicking iSAM2's relinearisation policy: between loop
 closures the chain is exact (each new keyframe pose is the composed estimate),
 so the full solve runs only when a loop factor arrives — matching where the
 reference actually spends iSAM2 work (update x2 on loop, LM.cpp:880-881).
+
+Capacity policy: the reference grows its keyframe vectors unboundedly
+(LM.cpp:67-69, 699-701).  Here the graph has a static capacity; when full,
+:func:`add_keyframe` REJECTS the new keyframe and counts it in ``overflow``
+(never corrupting the chain), and the host driver surfaces the condition
+(models/pipeline.SlamPipeline).
 """
 
 from __future__ import annotations
@@ -24,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import se3
+from ..ops.chain_solver import chain_solve
 
 
 class PoseGraph(NamedTuple):
@@ -37,6 +51,7 @@ class PoseGraph(NamedTuple):
     loop_w:     [L] information weight (0 = empty slot)
     count:      scalar int32 active poses
     loop_count: scalar int32 active loop factors
+    overflow:   scalar int32 keyframes rejected at capacity
     """
 
     poses: jnp.ndarray
@@ -47,6 +62,7 @@ class PoseGraph(NamedTuple):
     loop_w: jnp.ndarray
     count: jnp.ndarray
     loop_count: jnp.ndarray
+    overflow: jnp.ndarray
 
 
 def init_graph(max_kf: int, max_loops: int, dtype=jnp.float32) -> PoseGraph:
@@ -58,22 +74,27 @@ def init_graph(max_kf: int, max_loops: int, dtype=jnp.float32) -> PoseGraph:
         loop_rel=jnp.broadcast_to(jnp.eye(4, dtype=dtype), (max_loops, 4, 4)),
         loop_w=jnp.zeros(max_loops, dtype),
         count=jnp.int32(0), loop_count=jnp.int32(0),
+        overflow=jnp.int32(0),
     )
 
 
 def add_keyframe(g: PoseGraph, pose: jnp.ndarray) -> PoseGraph:
     """Append a pose; measured between = prev^-1 @ pose (LM.cpp:655-658).
 
-    At capacity the newest slot is overwritten (graceful degradation; the
-    reference grows unboundedly instead, SURVEY §5.7)."""
+    At capacity the keyframe is REJECTED and counted in ``overflow`` — the
+    stored chain stays consistent (round-1's silent newest-slot overwrite
+    rewrote chain_rel against a stale predecessor)."""
     cap = g.poses.shape[0]
+    at_cap = g.count >= cap
     k = jnp.minimum(g.count, cap - 1)
     prev = g.poses[jnp.maximum(k - 1, 0)]
     rel = jnp.where(k == 0, pose, se3.inv_mat(prev) @ pose)
     return g._replace(
-        poses=g.poses.at[k].set(pose),
-        chain_rel=g.chain_rel.at[k].set(rel),
-        count=jnp.minimum(g.count + 1, cap),
+        poses=jnp.where(at_cap, g.poses, g.poses.at[k].set(pose)),
+        chain_rel=jnp.where(at_cap, g.chain_rel,
+                            g.chain_rel.at[k].set(rel)),
+        count=jnp.where(at_cap, g.count, g.count + 1),
+        overflow=g.overflow + at_cap.astype(jnp.int32),
     )
 
 
@@ -89,8 +110,9 @@ def add_loop_factor(g: PoseGraph, i, j, rel, weight) -> PoseGraph:
     )
 
 
-def _between_residual(Xi, Xj, Z):
-    """r = Log(Z^-1 Xi^-1 Xj) and Jacobians wrt right-perturbations of i, j."""
+def _between_parts(Xi, Xj, Z):
+    """r = Log(Z^-1 Xi^-1 Xj) plus the factor blocks:
+    Jj = Jr_inv, Ji = -Jr_inv @ Ad with Ad = Adj(Xj^-1 Xi)."""
     E = se3.inv_mat(Z) @ se3.inv_mat(Xi) @ Xj
     r = se3.se3_log(E)
     # Jr^{-1}(r) ~ I + 0.5 ad(r)
@@ -101,13 +123,18 @@ def _between_residual(Xi, Xj, Z):
     ad = ad.at[..., 3:, 3:].set(se3.hat(phi))
     I6 = jnp.eye(6, dtype=r.dtype)
     Jr_inv = I6 + 0.5 * ad
-    Jj = Jr_inv
-    Ji = -Jr_inv @ se3.adjoint(se3.inv_mat(Xj) @ Xi)
-    return r, Ji, Jj
+    Ad = se3.adjoint(se3.inv_mat(Xj) @ Xi)
+    return r, Jr_inv, Ad
+
+
+def _between_residual(Xi, Xj, Z):
+    """r and the (Ji, Jj) Jacobians wrt right-perturbations of i, j."""
+    r, Jr_inv, Ad = _between_parts(Xi, Xj, Z)
+    return r, -Jr_inv @ Ad, Jr_inv
 
 
 def _assemble_and_solve(g: PoseGraph, chain_sigma, loop_w_scale, damping):
-    """One GN iteration: dense H delta = -b over 6*N dofs."""
+    """One GN iteration: dense H delta = -b over 6*N dofs (oracle path)."""
     N = g.poses.shape[0]
     dtype = g.poses.dtype
     idx = jnp.arange(N)
@@ -122,7 +149,6 @@ def _assemble_and_solve(g: PoseGraph, chain_sigma, loop_w_scale, damping):
 
     # --- prior on node 0: r = Log(Z0^-1 X0) ---
     r_p = se3.se3_log(se3.inv_mat(g.chain_rel[0]) @ g.poses[0])
-    ad0 = jnp.eye(6, dtype=dtype)  # Jr_inv ~ I for small residual
     w_p = (g.count > 0).astype(dtype)
 
     # --- loop factors ---
@@ -163,36 +189,12 @@ def _assemble_and_solve(g: PoseGraph, chain_sigma, loop_w_scale, damping):
     Hd = Hd + damping * jnp.eye(N * 6, dtype=dtype)
     bd = b.reshape(-1) * act
 
-    # Tiered solve: only the leading active prefix participates (inactive
-    # rows are identity), so solve the smallest power-of-two prefix that
-    # covers ``count``.  O(size^3) drops 64x while count <= N/4.  Note: a
-    # pivoted dense LU is required here — sequential block elimination
-    # (Thomas / cyclic reduction) loses ~1e0 relative accuracy in f32 on
-    # these stiff chain Hessians (see ops/block_tridiag docstring).
-    sizes = []
-    s = 64
-    while s < N:
-        sizes.append(s)
-        s *= 2
-    sizes.append(N)
-
-    def solve_at(size):
-        def f(_):
-            sub = -jnp.linalg.solve(Hd[: size * 6, : size * 6], bd[: size * 6])
-            return jnp.concatenate([sub, jnp.zeros(N * 6 - size * 6, dtype)])
-        return f
-
-    if len(sizes) == 1:
-        delta = solve_at(N)(None).reshape(N, 6)
-    else:
-        tier = sum(jnp.asarray(g.count > s, jnp.int32) for s in sizes[:-1])
-        delta = jax.lax.switch(tier, [solve_at(s) for s in sizes],
-                               None).reshape(N, 6)
+    delta = -jnp.linalg.solve(Hd, bd).reshape(N, 6)
     return delta, active
 
 
 def optimize_dense(g: PoseGraph, chain_sigma, iters: int = 10,
-                   loop_w_scale: float = 1.0, damping: float = 1e-6
+                   loop_w_scale: float = 1.0, damping: float = 0.0
                    ) -> PoseGraph:
     """GN with full O(N^2)-memory dense assembly — the simple oracle."""
     sigma = jnp.asarray(chain_sigma, g.poses.dtype)
@@ -206,108 +208,33 @@ def optimize_dense(g: PoseGraph, chain_sigma, iters: int = 10,
     return jax.lax.fori_loop(0, iters, body, g)
 
 
-def optimize(g: PoseGraph, chain_sigma, iters: int = 10,
-             loop_w_scale: float = 1.0, damping: float = 1e-6) -> PoseGraph:
-    """Production GN: O(N) sparse assembly (tridiagonal + loop blocks), then
-    a pivoted dense solve materialised only at the smallest power-of-two tier
-    covering ``count``.  Same linear system as :func:`optimize_dense`; avoids
-    both the [N,N,6,6] assembly traffic and the full-capacity O(N^3) solve.
-    (Unpivoted O(N) solvers are NOT usable here — see :func:`optimize_fast`.)
-    """
-    N = g.poses.shape[0]
-    Lf = g.loop_w.shape[0]
-    dtype = g.poses.dtype
-    sigma = jnp.asarray(chain_sigma, dtype)
-    info_c = 1.0 / sigma
+def optimize(g: PoseGraph, chain_sigma, iters: int = 3,
+             loop_w_scale: float = 1.0, max_step: float = 1.0) -> PoseGraph:
+    """Production GN: factored O(N) chain solve + low-rank loop fold-in.
 
-    sizes = []
-    s = 64
-    while s < N:
-        sizes.append(s)
-        s *= 2
-    sizes.append(N)
+    Identical linear system to :func:`optimize_dense` (at damping 0): the
+    chain+prior normal matrix ``T = J^T Info J`` is inverted in factored form
+    (ops/chain_solver — two associative scans, never forming T, f32-stable at
+    N >= 2048), and the ``L`` loop factors enter as ``Vs Vs^T`` through the
+    matrix inversion lemma:
+
+        delta = -(T + Vs Vs^T)^{-1} b
+              = -(T^{-1} b) + T^{-1} Vs (I + Vs^T T^{-1} Vs)^{-1} Vs^T T^{-1} b
+
+    with ``Vs`` the sqrt-weighted loop Jacobian columns — one chain solve over
+    1 + 6L right-hand sides plus a 6L x 6L pivoted core solve.
+    """
+    sigma = jnp.asarray(chain_sigma, g.poses.dtype)
 
     def gn_iter(g: PoseGraph) -> PoseGraph:
-        idx = jnp.arange(N)
-        active = idx < g.count
-
-        # chain + prior (same math as optimize_fast's assembly)
-        Xi = g.poses[jnp.maximum(idx - 1, 0)]
-        Xj = g.poses
-        r_c, Ji_c, Jj_c = _between_residual(Xi, Xj, g.chain_rel)
-        w_c = (active & (idx > 0)).astype(dtype)
-        WJi = Ji_c * (w_c[:, None, None] * info_c[None, :, None])
-        WJj = Jj_c * (w_c[:, None, None] * info_c[None, :, None])
-
-        D = jnp.zeros((N, 6, 6), dtype)
-        Lo = jnp.zeros((N, 6, 6), dtype)
-        Up = jnp.zeros((N, 6, 6), dtype)
-        b = jnp.zeros((N, 6), dtype)
-        i_prev = jnp.maximum(idx - 1, 0)
-        D = D.at[i_prev].add(jnp.einsum("nki,nkj->nij", Ji_c, WJi))
-        D = D.at[idx].add(jnp.einsum("nki,nkj->nij", Jj_c, WJj))
-        Up = Up.at[i_prev].add(jnp.einsum("nki,nkj->nij", Ji_c, WJj))
-        Lo = Lo.at[idx].add(jnp.einsum("nki,nkj->nij", Jj_c, WJi))
-        b = b.at[i_prev].add(jnp.einsum("nki,nk->ni", WJi, r_c))
-        b = b.at[idx].add(jnp.einsum("nki,nk->ni", WJj, r_c))
-
-        w_p = (g.count > 0).astype(dtype)
-        r_p = se3.se3_log(se3.inv_mat(g.chain_rel[0]) @ g.poses[0])
-        D = D.at[0].add(jnp.diag(info_c * w_p))
-        b = b.at[0].add(info_c * w_p * r_p)
-
-        # loop factors: diagonal terms fold into D, off-diagonals kept as
-        # per-loop blocks for the tier scatter
-        Xl_i = g.poses[g.loop_i]
-        Xl_j = g.poses[g.loop_j]
-        r_l, Ji_l, Jj_l = _between_residual(Xl_i, Xl_j, g.loop_rel)
-        w_l = jnp.where(jnp.arange(Lf) < g.loop_count, g.loop_w, 0.0) \
-            * loop_w_scale
-        WJi_l = Ji_l * w_l[:, None, None]
-        WJj_l = Jj_l * w_l[:, None, None]
-        D = D.at[g.loop_i].add(jnp.einsum("lki,lkj->lij", Ji_l, WJi_l))
-        D = D.at[g.loop_j].add(jnp.einsum("lki,lkj->lij", Jj_l, WJj_l))
-        Hij = jnp.einsum("lki,lkj->lij", Ji_l, WJj_l)
-        Hji = jnp.einsum("lki,lkj->lij", Jj_l, WJi_l)
-        b = b.at[g.loop_i].add(jnp.einsum("lki,lk->li", WJi_l, r_l))
-        b = b.at[g.loop_j].add(jnp.einsum("lki,lk->li", WJj_l, r_l))
-
-        # masking: inactive nodes decouple to identity
-        af = active.astype(dtype)[:, None, None]
-        I6 = jnp.eye(6, dtype=dtype)
-        D = D * af + (1.0 - af) * I6 + damping * I6
-        Lo = Lo * af * jnp.concatenate(
-            [jnp.zeros(1, dtype), active.astype(dtype)[:-1]])[:, None, None]
-        Up = Up * af * jnp.concatenate(
-            [active.astype(dtype)[1:], jnp.zeros(1, dtype)])[:, None, None]
-        b = b * active.astype(dtype)[:, None]
-
-        def solve_at(size):
-            def f(_):
-                ar = jnp.arange(size)
-                H4 = jnp.zeros((size, size, 6, 6), dtype)
-                H4 = H4.at[ar, ar].set(D[:size])
-                H4 = H4.at[ar[:-1], ar[1:]].set(Up[: size - 1])
-                H4 = H4.at[ar[1:], ar[:-1]].set(Lo[1:size])
-                # loop endpoints always < count <= size
-                li = jnp.clip(g.loop_i, 0, size - 1)
-                lj = jnp.clip(g.loop_j, 0, size - 1)
-                H4 = H4.at[li, lj].add(Hij)
-                H4 = H4.at[lj, li].add(Hji)
-                Hd = H4.transpose(0, 2, 1, 3).reshape(size * 6, size * 6)
-                sub = -jnp.linalg.solve(Hd, b[:size].reshape(-1))
-                return jnp.concatenate(
-                    [sub, jnp.zeros((N - size) * 6, dtype)])
-            return f
-
-        if len(sizes) == 1:
-            delta = solve_at(N)(None).reshape(N, 6)
-        else:
-            tier = sum(jnp.asarray(g.count > s_, jnp.int32)
-                       for s_ in sizes[:-1])
-            delta = jax.lax.switch(tier, [solve_at(s_) for s_ in sizes],
-                                   None).reshape(N, 6)
-
+        Ad, Jr, info, b, Vs = _gn_parts(g, sigma, loop_w_scale)
+        delta = _factored_delta(Ad, Jr, info, b, Vs)
+        # trust region: a global scale keeping every node's step <= max_step
+        # (GTSAM's iSAM2 wraps GN in Dogleg for the same reason; a raw GN
+        # step can diverge when loop factors are strongly inconsistent)
+        step = jnp.max(jnp.abs(delta))
+        delta = delta * jnp.minimum(1.0, max_step / jnp.maximum(step, 1e-12))
+        active = jnp.arange(g.poses.shape[0]) < g.count
         upd = g.poses @ se3.se3_exp(delta)
         poses = jnp.where(active[:, None, None], upd, g.poses)
         return g._replace(poses=poses)
@@ -315,116 +242,82 @@ def optimize(g: PoseGraph, chain_sigma, iters: int = 10,
     return jax.lax.fori_loop(0, iters, lambda _, g: gn_iter(g), g)
 
 
-def _next_pow2(n):
-    p = 1
-    while p < n:
-        p *= 2
-    return p
+def _gn_parts(g: PoseGraph, sigma: jnp.ndarray, loop_w_scale: float):
+    """Assemble one GN iteration's factored system parts.
 
-
-def optimize_fast(g: PoseGraph, chain_sigma, iters: int = 3,
-                  loop_w_scale: float = 1.0, damping: float = 1e-6) -> PoseGraph:
-    """EXPERIMENTAL: GN with an O(N) structured solve (block-Thomas chain
-    elimination + Woodbury loop term).  Mathematically exact and validated at
-    small scale, but *unpivoted* sequential elimination loses ~1e0 relative
-    accuracy in f32 over long stiff chains (N ~ 500), where pivoted dense LU
-    keeps 1e-7 — use :func:`optimize` (tiered dense) in production until a
-    compensated/mixed-precision sweep lands.
-
-    Exactly the same linear system as :func:`optimize` — the chain Hessian is
-    block-tridiagonal and each loop factor adds a rank-6 symmetric update
-    ``A_l^T W_l A_l`` with ``A_l = [.. Ji .. Jj ..]``.
+    Returns (Ad, Jr, info, b, Vs): the chain+prior normal matrix is
+    ``T = J^T diag(info) J`` with ``J`` block-bidiagonal from (Ad, Jr);
+    ``b`` is the full gradient ``J_all^T W r`` including loops; ``Vs`` the
+    sqrt-weighted loop columns so the loop Hessian term is ``Vs Vs^T``.
     """
-    from ..ops.block_tridiag import block_thomas_solve
-
     N = g.poses.shape[0]
-    Np = _next_pow2(N)
     Lf = g.loop_w.shape[0]
     dtype = g.poses.dtype
-    sigma = jnp.asarray(chain_sigma, dtype)
     info_c = 1.0 / sigma
+    I6 = jnp.eye(6, dtype=dtype)
+    idx = jnp.arange(N)
+    active = idx < g.count
 
-    def gn_iter(g: PoseGraph) -> PoseGraph:
-        idx = jnp.arange(N)
-        active = idx < g.count
+    # ---- chain rows i = 1..count-1 ----
+    Xi = g.poses[jnp.maximum(idx - 1, 0)]
+    Xj = g.poses
+    r_c, Jr_c, Ad_c = _between_parts(Xi, Xj, g.chain_rel)
+    row_chain = active & (idx > 0)
+    rc = row_chain.astype(dtype)[:, None, None]
 
-        # ---- chain + prior: tridiagonal assembly ----
-        Xi = g.poses[jnp.maximum(idx - 1, 0)]
-        Xj = g.poses
-        r_c, Ji_c, Jj_c = _between_residual(Xi, Xj, g.chain_rel)
-        w_c = (active & (idx > 0)).astype(dtype)
-        WJi = Ji_c * (w_c[:, None, None] * info_c[None, :, None])
-        WJj = Jj_c * (w_c[:, None, None] * info_c[None, :, None])
+    # factored-row data: prior at row 0 (Jr = I, Ad = 0); identity rows
+    # (Jr = I, Ad = 0, info = 1) decouple the inactive suffix
+    Ad = Ad_c * rc
+    Jr = jnp.where(row_chain[:, None, None], Jr_c, I6)
+    w_p = (g.count > 0).astype(dtype)
+    info_row0 = jnp.where(g.count > 0, info_c, jnp.ones(6, dtype))
+    info = jnp.where(row_chain[:, None], info_c[None, :],
+                     jnp.ones((1, 6), dtype))
+    info = info.at[0].set(info_row0)
 
-        D = jnp.zeros((Np, 6, 6), dtype)
-        Lo = jnp.zeros((Np, 6, 6), dtype)
-        Up = jnp.zeros((Np, 6, 6), dtype)
-        b = jnp.zeros((Np, 6), dtype)
+    # ---- gradient b = J^T Info r over all factors ----
+    Ji_c = -Jr_c @ Ad_c
+    w_c = row_chain.astype(dtype)
+    WJi = Ji_c * (w_c[:, None, None] * info_c[None, :, None])
+    WJj = Jr_c * (w_c[:, None, None] * info_c[None, :, None])
+    b = jnp.zeros((N, 6), dtype)
+    b = b.at[jnp.maximum(idx - 1, 0)].add(
+        jnp.einsum("nki,nk->ni", WJi, r_c))
+    b = b.at[idx].add(jnp.einsum("nki,nk->ni", WJj, r_c))
+    r_p = se3.se3_log(se3.inv_mat(g.chain_rel[0]) @ g.poses[0])
+    b = b.at[0].add(info_c * w_p * r_p)
 
-        i_prev = jnp.maximum(idx - 1, 0)
-        D = D.at[i_prev].add(jnp.einsum("nki,nkj->nij", Ji_c, WJi))
-        D = D.at[idx].add(jnp.einsum("nki,nkj->nij", Jj_c, WJj))
-        # factor i couples (i-1, i): U[i-1] and L[i]
-        Up = Up.at[i_prev].add(jnp.einsum("nki,nkj->nij", Ji_c, WJj)
-                               * w_c[:, None, None])
-        Lo = Lo.at[idx].add(jnp.einsum("nki,nkj->nij", Jj_c, WJi)
-                            * w_c[:, None, None])
-        b = b.at[i_prev].add(jnp.einsum("nki,nk->ni", WJi, r_c))
-        b = b.at[idx].add(jnp.einsum("nki,nk->ni", WJj, r_c))
+    # ---- loop factors: gradient + sqrt-weighted low-rank columns ----
+    Xl_i = g.poses[g.loop_i]
+    Xl_j = g.poses[g.loop_j]
+    r_l, Jr_l, Ad_l = _between_parts(Xl_i, Xl_j, g.loop_rel)
+    Ji_l = -Jr_l @ Ad_l
+    Jj_l = Jr_l
+    l_act = jnp.arange(Lf) < g.loop_count
+    w_l = jnp.where(l_act, g.loop_w, 0.0) * loop_w_scale
+    b = b.at[g.loop_i].add(
+        jnp.einsum("lki,lk->li", Ji_l, r_l) * w_l[:, None])
+    b = b.at[g.loop_j].add(
+        jnp.einsum("lki,lk->li", Jj_l, r_l) * w_l[:, None])
 
-        w_p = (g.count > 0).astype(dtype)
-        r_p = se3.se3_log(se3.inv_mat(g.chain_rel[0]) @ g.poses[0])
-        D = D.at[0].add(jnp.diag(info_c * w_p))
-        b = b.at[0].add(info_c * w_p * r_p)
+    sw = jnp.sqrt(w_l)[:, None, None]
+    Vs = jnp.zeros((N, 6, Lf, 6), dtype)
+    Vs = Vs.at[g.loop_i, :, jnp.arange(Lf), :].add(
+        jnp.swapaxes(Ji_l, 1, 2) * sw)
+    Vs = Vs.at[g.loop_j, :, jnp.arange(Lf), :].add(
+        jnp.swapaxes(Jj_l, 1, 2) * sw)
+    Vs = Vs.reshape(N, 6, Lf * 6)
+    return Ad, Jr, info, b, Vs
 
-        # inactive/padding nodes: identity diag, zero couplings/rhs
-        act_p = jnp.concatenate([active, jnp.zeros(Np - N, bool)])
-        af = act_p.astype(dtype)[:, None, None]
-        I6 = jnp.eye(6, dtype=dtype)
-        D = D * af + (1.0 - af) * I6 + damping * I6
-        Lo = Lo * af * jnp.concatenate(
-            [jnp.zeros(1, dtype), act_p.astype(dtype)[:-1]])[:, None, None]
-        Up = Up * af * jnp.concatenate(
-            [act_p.astype(dtype)[1:], jnp.zeros(1, dtype)])[:, None, None]
-        b = b * act_p.astype(dtype)[:, None]
 
-        # ---- loop factors: gradient + low-rank Woodbury blocks ----
-        Xl_i = g.poses[g.loop_i]
-        Xl_j = g.poses[g.loop_j]
-        r_l, Ji_l, Jj_l = _between_residual(Xl_i, Xl_j, g.loop_rel)
-        l_act = (jnp.arange(Lf) < g.loop_count)
-        w_l = jnp.where(l_act, g.loop_w, 0.0) * loop_w_scale
-
-        b = b.at[g.loop_i].add(
-            jnp.einsum("lki,lk->li", Ji_l, r_l) * w_l[:, None])
-        b = b.at[g.loop_j].add(
-            jnp.einsum("lki,lk->li", Jj_l, r_l) * w_l[:, None])
-
-        # V [Np, 6, 6L]: V[i_l, :, l] = Ji_l^T, V[j_l, :, l] = Jj_l^T,
-        # masked by loop activity (weights enter through W)
-        lw = l_act.astype(dtype)[:, None, None]
-        V = jnp.zeros((Np, 6, Lf, 6), dtype)
-        V = V.at[g.loop_i, :, jnp.arange(Lf), :].add(
-            jnp.swapaxes(Ji_l, 1, 2) * lw)
-        V = V.at[g.loop_j, :, jnp.arange(Lf), :].add(
-            jnp.swapaxes(Jj_l, 1, 2) * lw)
-        V = V.reshape(Np, 6, Lf * 6)
-
-        # ---- solve (T + V W V^T) delta = -b via Woodbury ----
-        B_all = jnp.concatenate([-b[:, :, None], V], axis=2)   # [Np,6,1+6L]
-        Y = block_thomas_solve(D, Lo, Up, B_all)
-        y = Y[:, :, 0]
-        Z = Y[:, :, 1:]
-
-        VtZ = jnp.einsum("nik,nil->kl", V, Z)                  # [6L, 6L]
-        Vty = jnp.einsum("nik,ni->k", V, y)
-        w_rep = jnp.repeat(jnp.maximum(w_l, 1e-12), 6)
-        core = jnp.diag(1.0 / w_rep) + VtZ
-        corr = Z @ jnp.linalg.solve(core, Vty)
-        delta = (y - corr)[:N]
-
-        upd = g.poses @ se3.se3_exp(delta)
-        poses = jnp.where(active[:, None, None], upd, g.poses)
-        return g._replace(poses=poses)
-
-    return jax.lax.fori_loop(0, iters, lambda _, g: gn_iter(g), g)
+def _factored_delta(Ad, Jr, info, b, Vs):
+    """delta = -(T + Vs Vs^T)^{-1} b via one batched chain solve + the
+    matrix inversion lemma's 6L x 6L pivoted core solve."""
+    Y = chain_solve(Ad, Jr, info, jnp.concatenate(
+        [-b[:, :, None], Vs], axis=2))
+    y = Y[:, :, 0]                                  # T^{-1} (-b)
+    Z = Y[:, :, 1:]                                 # T^{-1} Vs
+    K = Vs.shape[-1]
+    core = jnp.eye(K, dtype=Vs.dtype) + jnp.einsum("nik,nil->kl", Vs, Z)
+    Vty = jnp.einsum("nik,ni->k", Vs, y)
+    return y - Z @ jnp.linalg.solve(core, Vty)

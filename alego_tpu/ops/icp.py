@@ -29,7 +29,7 @@ def _nn1(query, qmask, ref, rmask, chunk=4096):
 class ICPResult(NamedTuple):
     transform: jnp.ndarray   # [4, 4] source -> target
     fitness: jnp.ndarray     # scalar mean squared distance
-    converged: jnp.ndarray   # bool
+    converged: jnp.ndarray   # bool: criterion-based (PCL hasConverged)
     iters: jnp.ndarray       # int32 iterations executed
 
 
@@ -52,8 +52,20 @@ def icp_point_to_point(src: jnp.ndarray, src_valid: jnp.ndarray,
                        iters: int, max_corr_dist: float,
                        translation_eps: float = 1e-6,
                        chunk: int = 4096,
-                       T0: jnp.ndarray | None = None) -> ICPResult:
-    """Align masked source cloud to masked target cloud from ``T0``."""
+                       T0: jnp.ndarray | None = None,
+                       fail_after_max_iter: bool = False) -> ICPResult:
+    """Align masked source cloud to masked target cloud from ``T0``.
+
+    ``converged`` follows PCL's ``DefaultConvergenceCriteria`` semantics
+    (the reference gates loop acceptance on ``icp.hasConverged()``,
+    LM.cpp:842): true when the loop exits on the transformation-epsilon
+    criterion — incremental translation^2 <= eps OR incremental rotation
+    within 1-eps of identity — and, as in PCL's default
+    (``failure_after_max_iter = false``), also when the iteration budget is
+    exhausted; set ``fail_after_max_iter=True`` for the stricter gate.
+    Always false when no correspondence fell inside ``max_corr_dist`` or the
+    fitness is non-finite.
+    """
     dtype = src.dtype
     I4 = jnp.eye(4, dtype=dtype)
     T_init = I4 if T0 is None else T0
@@ -67,37 +79,27 @@ def icp_point_to_point(src: jnp.ndarray, src_valid: jnp.ndarray,
         R, t = _rigid_from_correspondences(moved, tgt[idx], w)
         dT = I4.at[:3, :3].set(R).at[:3, 3].set(t)
         T_new = dT @ T
-        shift = jnp.sum(t * t)
-        return T_new, shift, it + 1, w.sum()
+        # PCL epsilon criteria on the INCREMENTAL transform: translation^2
+        # and cos(rotation angle) = (trace(R)-1)/2
+        trans_small = jnp.sum(t * t) <= translation_eps
+        cos_rot = (jnp.trace(R) - 1.0) * 0.5
+        rot_small = cos_rot >= (1.0 - translation_eps)
+        eps_conv = trans_small & rot_small
+        return T_new, eps_conv, it + 1, w.sum()
 
     def cond(state):
-        _, shift, it, _ = state
-        return (it < iters) & ((it == 0) | (shift > translation_eps))
+        _, eps_conv, it, _ = state
+        return (it < iters) & ~eps_conv
 
-    T, shift, it, n_corr = jax.lax.while_loop(
-        cond, body, (T_init, jnp.asarray(1.0, dtype), jnp.int32(0),
+    T, eps_conv, it, n_corr = jax.lax.while_loop(
+        cond, body, (T_init, jnp.bool_(False), jnp.int32(0),
                      jnp.asarray(0.0, dtype)))
 
     moved = src @ T[:3, :3].T + T[:3, 3]
     d2, _ = _nn1(moved, src_valid, tgt, tgt_valid, chunk=chunk)
     nsrc = jnp.maximum(jnp.sum(src_valid), 1)
     fitness = jnp.sum(jnp.where(src_valid, d2, 0.0)) / nsrc
-    converged = (n_corr > 0) & jnp.isfinite(fitness)
-    return ICPResult(transform=T, fitness=fitness, converged=converged, iters=it)
-
-
-def icp_coarse_to_fine(src: jnp.ndarray, src_valid: jnp.ndarray,
-                       tgt: jnp.ndarray, tgt_valid: jnp.ndarray,
-                       iters: int, max_corr_dist: float,
-                       translation_eps: float = 1e-6,
-                       chunk: int = 4096, decimate: int = 4,
-                       fine_iters: int = 8) -> ICPResult:
-    """Two-stage ICP: bulk convergence on a 1/``decimate`` source subsample,
-    short refinement + fitness on the full cloud.  ~3x cheaper per loop
-    attempt; final transform and PCL-style fitness semantics unchanged."""
-    sub = jax.lax.broadcasted_iota(jnp.int32, src_valid.shape, 0) % decimate == 0
-    coarse = icp_point_to_point(src, src_valid & sub, tgt, tgt_valid,
-                                iters, max_corr_dist, translation_eps, chunk)
-    return icp_point_to_point(src, src_valid, tgt, tgt_valid, fine_iters,
-                              max_corr_dist, translation_eps, chunk,
-                              T0=coarse.transform)
+    criteria_ok = eps_conv if fail_after_max_iter else jnp.bool_(True)
+    converged = (n_corr > 0) & jnp.isfinite(fitness) & criteria_ok
+    return ICPResult(transform=T, fitness=fitness, converged=converged,
+                     iters=it)

@@ -1,19 +1,35 @@
-"""Distributed pose-graph solve via Schur-complement reduction (BASELINE
-north star: "distributed pose-graph / bundle-adjustment optimization via
-Schur-complement reduction over ICI collectives").
+"""Distributed pose-graph solve: block substructuring of the FACTORED chain
+system over ICI collectives (BASELINE north star: "distributed pose-graph /
+bundle-adjustment optimization via Schur-complement reduction over ICI").
 
-The keyframe chain is partitioned into contiguous blocks, one per device.
-Separator set = block-boundary poses + loop-closure endpoints (prior node 0
-included).  Chain edges only link adjacent poses and loop edges only link
-separators, so the interior Hessian is block-diagonal across devices: each
-device factors its interior locally (the cubic work scales ~1/n^3 per
-device), its Schur contribution to the separator system is ``psum``-reduced
-over the mesh (ICI), the small separator solve is replicated, and interior
-back-substitution is local again.  Exact: matches the dense solve.
+Why not the classical normal-equation Schur complement?  On a stiff keyframe
+chain (info ~ 1e4) the separator system ``H_ss - H_si H_ii^-1 H_is`` is a
+difference of near-equal large terms: the condensed boundary stiffness is
+~info/nb while both operands are ~info, so f32 loses the entire answer
+(measured ~1e0 relative error at N = 128 — the same squared-conditioning
+failure that sank round 1's block-Thomas).  The production solver
+(models/pose_graph + ops/chain_solver) never forms the Hessian: the
+chain+prior normal matrix is ``J^T Info J`` with ``J`` block-bidiagonal, and
+its inverse is applied by two triangular solves.
 
-System per GN step: H d = -b, with
-  d_s = -(H_ss - sum_d H_si^d (H_ii^d)^-1 H_is^d)^-1 (b_s - sum_d H_si^d (H_ii^d)^-1 b_i^d)
-  d_i^d = -(H_ii^d)^-1 (b_i^d + H_is^d d_s)
+This module distributes EXACTLY that algorithm.  Eliminating each device's
+block interior from the *triangular* factor ``J`` is the Schur reduction of
+a bidiagonal system — and it is subtraction-free, hence f32-stable:
+
+* each device assembles only ITS rows of (Ad, Jr, info, b, Vs) from its
+  pose/chain window inside ``shard_map`` — nothing global is ever built;
+* each triangular solve = a local affine scan over the block (exact interior
+  elimination) + an all-gather of D block-boundary carries (the "separator
+  system": [6,6] + [6,K] per device, independent of N) + a replicated
+  D-step carry recursion + a local correction;
+* the L loop factors fold in via the matrix inversion lemma: the 6L x 6L
+  core is one ``psum`` (again independent of N), solved replicated.
+
+Per-device memory: O((N/D) * K) solve buffers with K = 1 + 6L.
+Cross-device traffic per GN iteration: 4 carry exchanges of D*[6, K+6] plus
+one [6L x 6L] psum — no term scales with N.  Arithmetic is a regrouping of
+the single-device factored solve, so accuracy matches it bit-for-bit up to
+reduction order (validated against f64 in tests/test_pose_graph_fast.py).
 """
 
 from __future__ import annotations
@@ -26,133 +42,186 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops import se3
+from ..ops.chain_solver import affine_scan_carry
 from ..models import pose_graph as pg
 
 
-def assemble_dense(g: pg.PoseGraph, chain_sigma, loop_w_scale=1.0,
-                   damping: float = 1e-6):
-    """Dense H [N*6, N*6], b [N*6] at the current linearisation point
-    (same factors as models/pose_graph: prior + chain + loops)."""
-    N = g.poses.shape[0]
-    dtype = g.poses.dtype
-    idx = jnp.arange(N)
-    active = idx < g.count
-
-    Xi = g.poses[jnp.maximum(idx - 1, 0)]
-    Xj = g.poses
-    r_c, Ji_c, Jj_c = pg._between_residual(Xi, Xj, g.chain_rel)
-    w_c = (active & (idx > 0)).astype(dtype)
-    info_c = 1.0 / jnp.asarray(chain_sigma, dtype)
-
-    r_p = se3.se3_log(se3.inv_mat(g.chain_rel[0]) @ g.poses[0])
-    w_p = (g.count > 0).astype(dtype)
-
-    Xl_i = g.poses[g.loop_i]
-    Xl_j = g.poses[g.loop_j]
-    r_l, Ji_l, Jj_l = pg._between_residual(Xl_i, Xl_j, g.loop_rel)
-    l_idx = jnp.arange(g.loop_w.shape[0])
-    w_l = jnp.where(l_idx < g.loop_count, g.loop_w, 0.0) * loop_w_scale
-
-    H = jnp.zeros((N, N, 6, 6), dtype)
-    b = jnp.zeros((N, 6), dtype)
-
-    def add(H, b, i, j, r, Ji, Jj, w, info):
-        WJi = Ji * (w[..., None, None] * info[None, :, None])
-        WJj = Jj * (w[..., None, None] * info[None, :, None])
-        H = H.at[i, i].add(jnp.einsum("nki,nkj->nij", Ji, WJi))
-        H = H.at[j, j].add(jnp.einsum("nki,nkj->nij", Jj, WJj))
-        H = H.at[i, j].add(jnp.einsum("nki,nkj->nij", Ji, WJj))
-        H = H.at[j, i].add(jnp.einsum("nki,nkj->nij", Jj, WJi))
-        b = b.at[i].add(jnp.einsum("nki,nk->ni", WJi, r))
-        b = b.at[j].add(jnp.einsum("nki,nk->ni", WJj, r))
-        return H, b
-
-    H, b = add(H, b, jnp.maximum(idx - 1, 0), idx, r_c, Ji_c, Jj_c, w_c, info_c)
-    H, b = add(H, b, g.loop_i, g.loop_j, r_l, Ji_l, Jj_l, w_l, jnp.ones(6, dtype))
-    H = H.at[0, 0].add(jnp.diag(info_c * w_p))
-    b = b.at[0].add(info_c * w_p * r_p)
-
-    Hd = H.transpose(0, 2, 1, 3).reshape(N * 6, N * 6)
-    act = jnp.repeat(active.astype(dtype), 6)
-    Hd = Hd * (act[:, None] * act[None, :]) + jnp.diag(1.0 - act)
-    Hd = Hd + damping * jnp.eye(N * 6, dtype=dtype)
-    bd = b.reshape(-1) * act
-    return Hd, bd
+def per_device_bytes(N: int, n_dev: int, Lf: int) -> int:
+    """Measured per-device assembly+solve footprint (f32 bytes): the sharded
+    rhs/solution buffers and the replicated Woodbury core."""
+    nb = N // n_dev
+    K = 1 + 6 * Lf
+    buffers = 3 * nb * 6 * K             # rhs + scan image + corrected
+    core = (6 * Lf) ** 2 + 2 * 6 * Lf    # Woodbury core + Vty
+    carries = 4 * n_dev * 6 * (K + 6)    # boundary exchanges
+    return 4 * (buffers + core + carries)
 
 
-def separator_mask(N: int, n_blocks: int, loop_i, loop_j, loop_count):
-    """Bool [N]: block boundaries + loop endpoints + node 0."""
-    blk = N // n_blocks
-    idx = jnp.arange(N)
-    sep = (idx % blk == 0) | (idx % blk == blk - 1) | (idx == 0)
-    L = loop_i.shape[0]
-    lmask = jnp.arange(L) < loop_count
-    sep = sep.at[jnp.where(lmask, loop_i, 0)].set(True)
-    sep = sep.at[jnp.where(lmask, loop_j, 0)].set(True)
-    return sep
+def make_schur_solver(mesh: Mesh, N: int, Lf: int, chain_sigma,
+                      iters: int = 3, axis: str = "data",
+                      max_step: float = 5.0):
+    """jitted fn(PoseGraph) -> PoseGraph, distributed over ``mesh``.
 
-
-def make_schur_solver(mesh: Mesh, N: int, chain_sigma, iters: int = 5,
-                      axis: str = "data", damping: float = 1e-6):
-    """jitted fn(PoseGraph) -> PoseGraph via distributed Schur GN."""
+    ``N`` must equal the graph capacity and divide the mesh size; ``Lf``
+    must equal the loop-factor capacity.
+    """
     n_dev = mesh.shape[axis]
-    assert N % n_dev == 0
-    blk6 = (N // n_dev) * 6
+    assert N % n_dev == 0, "graph capacity must divide the mesh"
+    nb = N // n_dev
+    K = 1 + 6 * Lf
     sigma = jnp.asarray(chain_sigma, jnp.float32)
+    info_c = 1.0 / sigma
+    I6 = jnp.eye(6, dtype=jnp.float32)
 
-    @partial(shard_map, mesh=mesh, in_specs=(P(), P(), P()),
-             out_specs=(P(), P()))
-    def schur_terms(Hd, bd, sep6f):
-        d = jax.lax.axis_index(axis)
-        lo = d * blk6
-        Hblk = jax.lax.dynamic_slice(Hd, (lo, 0), (blk6, Hd.shape[1]))
-        bblk = jax.lax.dynamic_slice(bd, (lo,), (blk6,))
-        i_mask = 1.0 - jax.lax.dynamic_slice(sep6f, (lo,), (blk6,))
+    def carry_chain(A0, y0, reverse: bool):
+        """Replicated D-step boundary recursion over gathered carries.
+        A0, y0: [D, 6, ...] per-block composed maps.  Returns the incoming
+        boundary value for THIS device ([6, ...])."""
+        my = jax.lax.axis_index(axis)
+        vals = [jnp.zeros_like(y0[0])]
+        order = range(n_dev - 1, -1, -1) if reverse else range(n_dev)
+        for d in order:
+            vals.append(y0[d] + A0[d] @ vals[-1])
+        # vals[k] = boundary value after k blocks are folded in; a device's
+        # incoming carry is the value just BEFORE its own block
+        stack = jnp.stack(vals[:-1], 0)
+        pick = (n_dev - 1) - my if reverse else my
+        return stack[pick]
 
-        Hii = jax.lax.dynamic_slice(Hblk, (0, lo), (blk6, blk6))
-        Hii = Hii * (i_mask[:, None] * i_mask[None, :]) + jnp.diag(1.0 - i_mask)
-        His = Hblk * (i_mask[:, None] * sep6f[None, :])
-        bi = bblk * i_mask
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P(axis),       # pose/rel windows
+                       P(), P(), P(), P(), P(), P(), P(), P()),
+             out_specs=P(axis))
+    def gn_delta(posesW, relW, rowsW,
+                 r_l, Ji_l, Jj_l, li, lj, w_l, r_p, count):
+        """posesW [1, nb+2, 4, 4]: poses lo-1 .. lo+nb  (clamped)
+        relW   [1, nb+1, 4, 4]: chain_rel lo .. lo+nb
+        rowsW  [1, nb]: global row index of each local row."""
+        posesW, relW, rows = posesW[0], relW[0], rowsW[0]
+        dtype = posesW.dtype
+        lo = rows[0]
 
-        Y = jnp.linalg.solve(Hii, jnp.concatenate([His, bi[:, None]], 1))
-        Yh, yb = Y[:, :-1], Y[:, -1]
-        C = His.T @ Yh             # H_si (H_ii)^-1 H_is  (sep x sep support)
-        c = His.T @ yb
-        return jax.lax.psum(C, axis), jax.lax.psum(c, axis)
+        # ---- per-device factor parts: factors lo .. lo+nb ----
+        Xi = posesW[:-1]                  # poses lo-1 .. lo+nb-1
+        Xj = posesW[1:]                   # poses lo   .. lo+nb
+        r_f, Jr_f, Ad_f = pg._between_parts(Xi, Xj, relW)   # [nb+1, ...]
+        kf = lo + jnp.arange(nb + 1)      # global factor index
+        fmask = (kf > 0) & (kf < count)
 
-    @partial(shard_map, mesh=mesh, in_specs=(P(), P(), P(), P()),
-             out_specs=P())
-    def interior_delta(Hd, bd, sep6f, delta_s):
-        d = jax.lax.axis_index(axis)
-        lo = d * blk6
-        Hblk = jax.lax.dynamic_slice(Hd, (lo, 0), (blk6, Hd.shape[1]))
-        bblk = jax.lax.dynamic_slice(bd, (lo,), (blk6,))
-        i_mask = 1.0 - jax.lax.dynamic_slice(sep6f, (lo,), (blk6,))
-        Hii = jax.lax.dynamic_slice(Hblk, (0, lo), (blk6, blk6))
-        Hii = Hii * (i_mask[:, None] * i_mask[None, :]) + jnp.diag(1.0 - i_mask)
-        His = Hblk * (i_mask[:, None] * sep6f[None, :])
-        bi = bblk * i_mask
-        di = -jnp.linalg.solve(Hii, bi + His @ delta_s) * i_mask
-        full = jnp.zeros_like(bd)
-        full = jax.lax.dynamic_update_slice(full, di, (lo,))
-        return jax.lax.psum(full, axis)
+        # ---- row data (rows lo .. lo+nb-1) ----
+        row_chain = fmask[:nb] & (rows > 0)
+        rc = row_chain.astype(dtype)[:, None, None]
+        Ad = Ad_f[:nb] * rc
+        Jr = jnp.where(row_chain[:, None, None], Jr_f[:nb], I6)
+        is0 = rows == 0
+        w_p = (count > 0).astype(dtype)
+        info0 = jnp.where(count > 0, info_c, jnp.ones(6, dtype))
+        info = jnp.where(row_chain[:, None], info_c[None, :],
+                         jnp.ones((1, 6), dtype))
+        info = jnp.where(is0[:, None], info0[None, :], info)
+
+        # ---- gradient rows: b[k] = Jj(f_k)^T W r_k + Ji(f_{k+1})^T W r_{k+1}
+        Ji_f = -Jr_f @ Ad_f
+        wf = fmask.astype(dtype)
+        gj = jnp.einsum("nki,nk->ni", Jr_f * info_c[None, :, None], r_f) * wf[:, None]
+        gi = jnp.einsum("nki,nk->ni", Ji_f * info_c[None, :, None], r_f) * wf[:, None]
+        b = gj[:nb] + gi[1:]
+        b = b + jnp.where(is0[:, None], (info_c * w_p * r_p)[None, :], 0.0)
+
+        # loop gradient + sqrt-weighted columns: endpoints in this block
+        sw = jnp.sqrt(w_l)
+        li_loc = li - lo
+        lj_loc = lj - lo
+        in_i = (li_loc >= 0) & (li_loc < nb)
+        in_j = (lj_loc >= 0) & (lj_loc < nb)
+        gli = jnp.einsum("lki,lk->li", Ji_l, r_l) * w_l[:, None]
+        glj = jnp.einsum("lki,lk->li", Jj_l, r_l) * w_l[:, None]
+        b = b.at[jnp.clip(li_loc, 0, nb - 1)].add(gli * in_i[:, None])
+        b = b.at[jnp.clip(lj_loc, 0, nb - 1)].add(glj * in_j[:, None])
+
+        Lfn = w_l.shape[0]
+        Vs = jnp.zeros((nb, 6, Lfn, 6), dtype)
+        Vs = Vs.at[jnp.clip(li_loc, 0, nb - 1), :, jnp.arange(Lfn), :].add(
+            jnp.swapaxes(Ji_l, 1, 2) * (sw * in_i)[:, None, None])
+        Vs = Vs.at[jnp.clip(lj_loc, 0, nb - 1), :, jnp.arange(Lfn), :].add(
+            jnp.swapaxes(Jj_l, 1, 2) * (sw * in_j)[:, None, None])
+        Vs = Vs.reshape(nb, 6, Lfn * 6)
+
+        rhs = jnp.concatenate([-b[:, :, None], Vs], 2)      # [nb, 6, K]
+
+        # ---- distributed factored solve of T x = rhs ----
+        AdT = jnp.swapaxes(Ad, -1, -2)
+        JrT = jnp.swapaxes(Jr, -1, -2)
+
+        # (1) y = B^{-T} rhs: y_m = rhs_m + Ad_{m+1}^T y_{m+1}
+        #     M_m = Ad_{m+1}^T; the block's last row needs the NEXT block's
+        #     first Ad — available as factor lo+nb in the window
+        Ad_next = Ad_f[nb] * ((fmask[nb] & (lo + nb < N)).astype(dtype))
+        M = jnp.concatenate([AdT[1:], jnp.swapaxes(Ad_next, -1, -2)[None]], 0)
+        A_sfx, y_loc = affine_scan_carry(M, rhs, reverse=True)
+        inc = carry_chain(*_gather_carry(A_sfx[0], y_loc[0], axis),
+                          reverse=True)
+        y = y_loc + A_sfx @ inc
+
+        # (2) diagonal: u = Jr^{-1} (Jr^{-T} y / info)
+        u = jnp.linalg.solve(Jr, jnp.linalg.solve(JrT, y) / info[..., None])
+
+        # (3) x = B^{-1} u: x_m = u_m + Ad_m x_{m-1}
+        A_pfx, x_loc = affine_scan_carry(Ad, u, reverse=False)
+        inc2 = carry_chain(*_gather_carry(A_pfx[-1], x_loc[-1], axis),
+                           reverse=False)
+        x = x_loc + A_pfx @ inc2
+
+        # ---- Woodbury loop fold-in: ONE psum, independent of N ----
+        y_b = x[:, :, 0]
+        Z = x[:, :, 1:]
+        core_loc = jnp.einsum("nik,nil->kl", Vs, Z)
+        vty_loc = jnp.einsum("nik,ni->k", Vs, y_b)
+        packed = jax.lax.psum(
+            jnp.concatenate([core_loc, vty_loc[:, None]], 1), axis)
+        core = jnp.eye(Lfn * 6, dtype=dtype) + packed[:, :-1]
+        Vty = packed[:, -1]
+        delta = y_b - Z @ jnp.linalg.solve(core, Vty)
+        return delta[None]
+
+    def _gather_carry(A0, y0, ax):
+        A_all = jax.lax.all_gather(A0, ax)
+        y_all = jax.lax.all_gather(y0, ax)
+        return A_all, y_all
 
     def gn_iter(g: pg.PoseGraph) -> pg.PoseGraph:
-        Hd, bd = assemble_dense(g, sigma, damping=damping)
-        sep = separator_mask(N, n_dev, g.loop_i, g.loop_j, g.loop_count)
-        sep6f = jnp.repeat(sep, 6).astype(Hd.dtype)
+        idx = jnp.arange(N)
+        active = idx < g.count
 
-        C, c = schur_terms(Hd, bd, sep6f)
-        S = (Hd - C) * (sep6f[:, None] * sep6f[None, :]) + jnp.diag(1.0 - sep6f)
-        rhs = (bd - c) * sep6f
-        delta_s = -jnp.linalg.solve(S, rhs) * sep6f
+        # overlapping windows (replicated gather of O(N) pose data, sharded
+        # on transfer into shard_map)
+        win_p = ((jnp.arange(n_dev) * nb)[:, None]
+                 + jnp.arange(-1, nb + 1)[None, :])
+        posesW = g.poses[jnp.clip(win_p, 0, N - 1)]
+        win_r = ((jnp.arange(n_dev) * nb)[:, None]
+                 + jnp.arange(nb + 1)[None, :])
+        relW = g.chain_rel[jnp.clip(win_r, 0, N - 1)]
+        rowsW = (jnp.arange(n_dev) * nb)[:, None] + jnp.arange(nb)[None, :]
 
-        delta_i = interior_delta(Hd, bd, sep6f, delta_s)
-        delta = delta_s + delta_i
+        # loop parts (replicated, O(Lf))
+        Xl_i = g.poses[g.loop_i]
+        Xl_j = g.poses[g.loop_j]
+        r_l, Jr_l, Ad_l = pg._between_parts(Xl_i, Xl_j, g.loop_rel)
+        lmask = jnp.arange(Lf) < g.loop_count
+        w_l = jnp.where(lmask, g.loop_w, 0.0)
+        Ji_l = -Jr_l @ Ad_l
+        r_p = se3.se3_log(se3.inv_mat(g.chain_rel[0]) @ g.poses[0])
 
-        upd = g.poses @ se3.se3_exp(delta.reshape(N, 6))
-        active = jnp.arange(N) < g.count
-        return g._replace(poses=jnp.where(active[:, None, None], upd, g.poses))
+        delta = gn_delta(posesW, relW, rowsW,
+                         r_l, Ji_l, Jr_l,
+                         g.loop_i.astype(jnp.int32),
+                         g.loop_j.astype(jnp.int32), w_l, r_p, g.count)
+        delta = delta.reshape(N, 6)
+        step = jnp.max(jnp.abs(delta))
+        delta = delta * jnp.minimum(1.0, max_step / jnp.maximum(step, 1e-12))
+        upd = g.poses @ se3.se3_exp(delta)
+        return g._replace(poses=jnp.where(active[:, None, None],
+                                          upd, g.poses))
 
     @jax.jit
     def solve(g: pg.PoseGraph) -> pg.PoseGraph:

@@ -124,7 +124,10 @@ def ray_directions(cfg: PipelineConfig) -> np.ndarray:
     else:
         elev_deg = np.arange(cfg.n_scan) * cfg.ang_res_y_deg - cfg.ang_bottom_deg
     elev = np.radians(elev_deg)
-    az = -np.arange(cfg.horizon_scan) * np.radians(cfg.ang_res_x_deg)
+    # bin CENTRES (c + 0.5): rays exactly on bin boundaries would make the
+    # projector's floor() a coin flip per point (f32 vs f64, and frame to
+    # frame), destabilising the whole downstream pipeline
+    az = -(np.arange(cfg.horizon_scan) + 0.5) * np.radians(cfg.ang_res_x_deg)
     ce, se = np.cos(elev)[:, None], np.sin(elev)[:, None]
     ca, sa = np.cos(az)[None, :], np.sin(az)[None, :]
     dirs = np.stack([ce * ca, ce * sa, np.broadcast_to(se, ce * ca * 0 + se.shape

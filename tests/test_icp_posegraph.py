@@ -104,14 +104,37 @@ def test_pose_graph_no_loops_is_stable():
                                atol=1e-3)
 
 
-def test_icp_coarse_to_fine_recovers_transform():
-    rng = np.random.default_rng(9)
-    tgt = rng.uniform(-10, 10, (2000, 3)).astype(np.float32)
-    true = np.array([0.5, -0.2, 0.1, 0.02, -0.01, 0.08], np.float32)
-    T = np.asarray(se3.params_to_mat(jnp.asarray(true)))
+
+def test_icp_hasconverged_criteria():
+    """PCL DefaultConvergenceCriteria semantics (gate at LM.cpp:842)."""
+    rng = np.random.default_rng(21)
+    tgt = rng.uniform(-5, 5, (256, 3)).astype(np.float32)
+    T = np.asarray(se3.params_to_mat(jnp.asarray(
+        [0.3, -0.2, 0.1, 0.02, -0.01, 0.05], jnp.float32)))
     src = (tgt - T[:3, 3]) @ T[:3, :3]
-    res = icp.icp_coarse_to_fine(
-        jnp.asarray(src), jnp.ones(2000, bool), jnp.asarray(tgt),
-        jnp.ones(2000, bool), iters=40, max_corr_dist=5.0)
-    np.testing.assert_allclose(np.asarray(res.transform), T, atol=1e-2)
-    assert float(res.fitness) < 1e-2
+    ok = jnp.ones(256, bool)
+
+    # easy alignment: epsilon-converges well before the budget
+    res = icp.icp_point_to_point(jnp.asarray(src), ok, jnp.asarray(tgt), ok,
+                                 iters=50, max_corr_dist=10.0,
+                                 fail_after_max_iter=True)
+    assert bool(res.converged)
+    assert int(res.iters) < 50
+
+    # no correspondence within range -> never converged
+    far = jnp.asarray(tgt + 1e4)
+    res2 = icp.icp_point_to_point(jnp.asarray(src), ok, far, ok,
+                                  iters=10, max_corr_dist=1.0)
+    assert not bool(res2.converged)
+
+    # budget exhausted without epsilon convergence: PCL default counts as
+    # converged; the strict flag does not
+    res3 = icp.icp_point_to_point(jnp.asarray(src), ok, jnp.asarray(tgt), ok,
+                                  iters=1, max_corr_dist=10.0,
+                                  translation_eps=1e-12)
+    assert bool(res3.converged)
+    res4 = icp.icp_point_to_point(jnp.asarray(src), ok, jnp.asarray(tgt), ok,
+                                  iters=1, max_corr_dist=10.0,
+                                  translation_eps=1e-12,
+                                  fail_after_max_iter=True)
+    assert not bool(res4.converged)

@@ -42,10 +42,12 @@ def test_mapping_improves_on_odometry():
 
     ate_map = metrics.ate_rmse(est[:, :3, 3], poses[:, :3, 3], align=False)
     ate_odom = metrics.ate_rmse(odom[:, :3, 3], poses[:, :3, 3], align=False)
-    # mapping should stay in the same accuracy class as raw odometry on this
-    # short arc (its wins come on long loopy sequences); both sub-0.5 m
-    assert ate_map < max(2.2 * ate_odom, 0.35), (ate_map, ate_odom)
-    assert ate_odom < 0.5
+    # mapping is the product metric: measured 0.10 on this scene (raw
+    # odometry at noise 0.02 over 20 frames is scene-sensitive — 0.28-0.97
+    # across world seeds; the tight odometry envelope is test_regression)
+    assert ate_map < 0.2, (ate_map, ate_odom)
+    assert ate_map < ate_odom, (ate_map, ate_odom)
+    assert ate_odom < 1.2
 
 
 def test_export_map_and_checkpoint(tmp_path):

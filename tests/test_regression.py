@@ -1,19 +1,18 @@
 """Golden-trajectory regression: fixed-seed synthetic sequences must keep
 meeting their accuracy envelopes. Catches silent accuracy regressions that
-unit tests miss (SURVEY §4: the test strategy the reference lacked)."""
+unit tests miss (SURVEY §4: the test strategy the reference lacked).
+
+Thresholds are ~1.5x the measured values (round-2 verdict item: envelopes
+that would catch a 50% regression), re-measured 2026-08 after the
+bin-centre renderer fix:
+  arc 101: 0.048 m   fast arc 102: 0.163 m   closed loop: 0.058 m (1 loop)
+"""
 
 import numpy as np
 
 from alego_tpu.config import tiny_config
 from alego_tpu.models.pipeline import SlamPipeline
 from alego_tpu.utils import synthetic, metrics
-
-# (seed, n_frames, speed, radius, closed, max_ate_m)
-CASES = [
-    (101, 24, 0.5, 30.0, False, 0.30),   # gentle arc
-    (102, 24, 1.2, 25.0, False, 0.40),   # faster
-    (103, 40, None, 8.0, True, 2.00),    # harsh closed loop: 9 deg/frame
-]
 
 
 def _run(seed, n, speed, radius, closed, loop_on):
@@ -35,14 +34,26 @@ def _run(seed, n, speed, radius, closed, loop_on):
 
 def test_golden_arc():
     ate, _ = _run(101, 24, 0.5, 30.0, False, loop_on=False)
-    assert ate < 0.30, ate
+    assert ate < 0.08, ate            # measured 0.048
 
 
 def test_golden_fast_arc():
     ate, _ = _run(102, 24, 1.2, 25.0, False, loop_on=False)
-    assert ate < 0.40, ate
+    assert ate < 0.25, ate            # measured 0.163
 
 
 def test_golden_closed_loop():
+    """Full circuit with a real loop closure: the loop must FIRE (loops >= 1)
+    and the loop-corrected ATE must hold its envelope."""
+    ate, pipe = _run(103, 60, None, 10.0, True, loop_on=True)
+    assert int(pipe.state.mapping.graph.loop_count) >= 1
+    assert ate < 0.10, ate            # measured 0.058
+
+
+def test_harsh_closed_loop_stays_bounded():
+    """9 deg/frame circle: deliberately beyond the scan-matching comfort zone
+    (the loop ICP legitimately rejects at fitness ~0.56 > 0.5).  Robustness
+    envelope only: finite, bounded drift."""
     ate, pipe = _run(103, 40, None, 8.0, True, loop_on=True)
-    assert ate < 2.00, ate
+    assert np.isfinite(ate)
+    assert ate < 1.5, ate             # measured 1.005, loop rejected
