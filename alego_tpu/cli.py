@@ -4,11 +4,14 @@ The reference is started with ``roslaunch alego test2.launch`` + a rosbag
 replay (README.md:27-41).  Here the same role is one command:
 
     python -m alego_tpu.cli --input /path/to/frames --output out/
+    python -m alego_tpu.cli --bag robo_0529.bag --output out/   # rosbag replay
     python -m alego_tpu.cli --synthetic 100 --output out/       # no data needed
 
 ``--input`` accepts a directory of ``.pcd`` or KITTI ``.bin`` frames (sorted
-by name, prefetched by the native C++ loader).  Outputs: TUM-format
-trajectory, timing report, and the /save_map-equivalent PCD map.
+by name, prefetched by the native C++ loader); ``--bag`` replays
+PointCloud2 messages straight out of a ROS bag (utils/rosbag.py, no ROS
+install).  Outputs: TUM-format trajectory, timing report, and the
+/save_map-equivalent PCD map.
 """
 
 from __future__ import annotations
@@ -32,10 +35,19 @@ def _tum_line(t, T):
 def main(argv=None):
     ap = argparse.ArgumentParser(description="alego_tpu SLAM runner")
     ap.add_argument("--input", help="directory of .pcd/.bin scans")
+    ap.add_argument("--bag", help="ROS bag (v2.0) to replay — the reference's "
+                                  "`rosbag play` input path, no ROS needed")
+    ap.add_argument("--topic", help="PointCloud2 topic inside --bag "
+                                    "(default: every PointCloud2 topic)")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="run N synthetic frames instead of real data")
     ap.add_argument("--output", default="alego_out", help="output directory")
     ap.add_argument("--tiny", action="store_true", help="use the small test config")
+    ap.add_argument("--preset", choices=["standalone", "nodelet"],
+                    default="standalone",
+                    help="parameter preset: 'standalone' (LM.cpp) or "
+                         "'nodelet' (laserMapping.cpp drift: loop radius 20, "
+                         "fitness 0.4, history leaf 1.0)")
     ap.add_argument("--no-loop-closure", action="store_true")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--save-map", action="store_true", help="export PCD map")
@@ -43,15 +55,31 @@ def main(argv=None):
     ap.add_argument("--dump-debug", action="store_true",
                     help="write first-frame segmented/feature clouds as PCDs "
                          "(the reference's debug topics, LO.cpp:123-127)")
+    ap.add_argument("--viz", action="store_true",
+                    help="write an interactive standalone viewer.html of the "
+                         "map + trajectory (the rviz session equivalent)")
+    ap.add_argument("--dump-every", type=int, default=0, metavar="K",
+                    help="every K frames, export the surround map + pose "
+                         "(the 0.2 Hz /laser_cloud_surround publisher, "
+                         "LM.cpp:744-777)")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="run N concurrent SLAM sequences, one per device "
+                         "(multi-log mapping; with --synthetic renders N "
+                         "distinct worlds)")
     args = ap.parse_args(argv)
 
     import numpy as np
-    from .config import PipelineConfig, tiny_config
+    from .config import PipelineConfig, tiny_config, nodelet_config
     from .models.pipeline import SlamPipeline
     from .utils.profiling import StageTimer
     from .utils import io as pio
 
-    cfg = tiny_config() if args.tiny else PipelineConfig()
+    if args.tiny:
+        cfg = tiny_config()
+    elif args.preset == "nodelet":
+        cfg = nodelet_config()
+    else:
+        cfg = PipelineConfig()
     if args.no_loop_closure:
         cfg = cfg.replace(loop_closure_enabled=False)
 
@@ -63,7 +91,20 @@ def main(argv=None):
     os.makedirs(args.output, exist_ok=True)
     timer = StageTimer()
 
-    def feed(points4):
+    def maybe_dump_surround():
+        """Periodic surround-map export — the 0.2 Hz /laser_cloud_surround
+        publisher (LM.cpp:744-777) as files an operator can watch."""
+        k = len(pipe.poses)
+        if not args.dump_every or k == 0 or k % args.dump_every:
+            return
+        sdir = os.path.join(args.output, "surround")
+        os.makedirs(sdir, exist_ok=True)
+        m = pipe.export_map()
+        cloud = np.concatenate([m["corner"], m["surf"], m["outlier"]], 0)
+        pio.write_pcd(os.path.join(sdir, f"surround_{k:06d}.pcd"), cloud)
+        np.save(os.path.join(sdir, f"pose_{k:06d}.npy"), pipe.poses[-1])
+
+    def feed(points4, t=None):
         pts = points4[:, :3].astype(np.float32)
         good = np.isfinite(pts).all(-1)
         pad = np.zeros((cfg.max_raw_points, 3), np.float32)
@@ -75,7 +116,9 @@ def main(argv=None):
         if dump_first:
             dump_first.pop()(pad, msk)
         with timer.stage("slam_step"):
-            return pipe.process(pad, msk)
+            out = pipe.process(pad, msk, time=t)
+        maybe_dump_surround()
+        return out
 
     if args.dump_debug:
         import jax
@@ -101,6 +144,44 @@ def main(argv=None):
     else:
         dump_first = []
 
+    if args.mesh:
+        if not args.synthetic:
+            ap.error("--mesh currently requires --synthetic N frames")
+        from .parallel.multichip import ShardedSlamPipeline
+        from .utils import synthetic
+        from .utils.metrics import ate_rmse
+
+        B = args.mesh
+        n = args.synthetic
+        radius = max(4.0, n * 0.25 / (2 * 3.14159))
+        gt = synthetic.loop_trajectory(n, radius=radius, closed=True)
+        seqs, masks = [], []
+        for b in range(B):
+            world = synthetic.make_world(seed=7 + b, clear_path=gt[:, :2, 3])
+            p, m = synthetic.render_sequence(world, gt, cfg, noise=0.01,
+                                             seed=b)
+            seqs.append(p)
+            masks.append(m)
+        pts_b = np.stack(seqs, 1)
+        msk_b = np.stack(masks, 1)
+        spipe = ShardedSlamPipeline(cfg, B)
+        t0 = time.time()
+        traj = spipe.run(pts_b, msk_b)
+        wall = time.time() - t0
+        print(f"{B} sequences x {n} frames in {wall:.1f}s "
+              f"({B * n / max(wall, 1e-9):.1f} frames/s aggregate)")
+        for b in range(B):
+            ate = ate_rmse(traj[:, b, :3, 3], gt[:, :3, 3], align=False)
+            print(f"  sequence {b}: ATE {ate:.3f} m")
+        os.makedirs(args.output, exist_ok=True)
+        for b in range(B):
+            with open(os.path.join(args.output,
+                                   f"trajectory_tum_{b}.txt"), "w") as f:
+                for k in range(traj.shape[0]):
+                    f.write(_tum_line(k * cfg.scan_period, traj[k, b]) + "\n")
+        print(f"trajectories -> {args.output}/trajectory_tum_*.txt")
+        return 0
+
     t_start = time.time()
     gt = None
     if args.synthetic:
@@ -116,9 +197,22 @@ def main(argv=None):
                 dump_first.pop()(pts_seq[0], mask_seq[0])
             with timer.stage("slam_step"):
                 pipe.process(pts_seq[k], mask_seq[k])
+            maybe_dump_surround()
+    elif args.bag:
+        from .utils.rosbag import read_bag_pointclouds
+
+        n_fed = 0
+        t0_bag = None
+        for t, _topic, pc in read_bag_pointclouds(args.bag, args.topic):
+            t0_bag = pc.stamp if t0_bag is None else t0_bag
+            feed(pc.array(("x", "y", "z")), t=pc.stamp - t0_bag)
+            n_fed += 1
+            if args.max_frames and n_fed >= args.max_frames:
+                break
+        print(f"{n_fed} PointCloud2 messages from {args.bag}")
     else:
         if not args.input:
-            ap.error("either --input or --synthetic is required")
+            ap.error("either --input, --bag or --synthetic is required")
         from .runtime.io_native import FrameLoader
 
         paths = sorted(
@@ -156,6 +250,15 @@ def main(argv=None):
     if args.save_map:
         pio.save_map(os.path.join(args.output, "map"), pipe.export_map())
         print(f"map -> {args.output}/map/*.pcd")
+
+    if args.viz:
+        from .utils.viewer import write_html_viewer
+
+        m = pipe.export_map()
+        cloud = np.concatenate([m["corner"], m["surf"], m["outlier"]], 0)
+        viz_path = os.path.join(args.output, "viewer.html")
+        write_html_viewer(viz_path, np.stack(pipe.poses), cloud)
+        print(f"viewer -> {viz_path}")
 
     pipe.save_checkpoint(os.path.join(args.output, "state.npz"))
     return 0

@@ -119,8 +119,11 @@ class PipelineConfig:
     pose_graph_gn_iters: int = 3   # GN converges in 2-3 (tests); each iter
                                    # is one O(N) factored chain solve
 
-    # --- IMU (utility.h:68-70, LO.cpp:840-881) ---
+    # --- IMU / odom (utility.h:68-70, LO.cpp:737-881) ---
     use_imu: bool = False           # de-skew call is disabled in ref (LO.cpp:184)
+    use_odom: bool = False          # external-odometry aid (utility.h:69):
+                                    # same de-skew path, samples fed via
+                                    # SlamPipeline.add_odom
     imu_queue_length: int = 200
 
     # --- static capacities (new: required for fixed XLA shapes) ---
@@ -164,6 +167,19 @@ class PipelineConfig:
 
 
 # Small geometry for fast tests: 16 x 900 image at 0.4 deg.
+def nodelet_config(**kw) -> PipelineConfig:
+    """The nodelet variant's parameter drift (laserMapping.cpp:37-41,74-78):
+    wider loop-search radius (20 m), looser acceptance fitness (0.4), and a
+    coarser 1.0 m history-keyframe leaf; everything else as standalone."""
+    base = dict(
+        history_search_radius=20.0,
+        history_fitness_score=0.4,
+        history_leaf=1.0,
+    )
+    base.update(kw)
+    return PipelineConfig(**base)
+
+
 def tiny_config(**kw) -> PipelineConfig:
     base = dict(
         horizon_scan=900,

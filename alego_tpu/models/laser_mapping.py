@@ -48,6 +48,8 @@ class MappingState(NamedTuple):
     T_map2odom: jnp.ndarray      # [4, 4]
     T_map2laser: jnp.ndarray     # [4, 4]
     last_loop_kf: jnp.ndarray    # int32: keyframe index of last loop attempt
+    loop_attempts: jnp.ndarray   # int32: ICP attempts run (diagnostics)
+    loop_best_fitness: jnp.ndarray  # float: min ICP fitness seen (diagnostics)
     # cached voxel-merged local map (the reference caches transformed
     # keyframe clouds in its deque, LM.cpp:361-388); dirty on keyframe/loop
     map_corner: jnp.ndarray      # [map_corner_cap, 3]
@@ -59,6 +61,9 @@ class MappingState(NamedTuple):
 
 def init_state(cfg: PipelineConfig, dtype=jnp.float32) -> MappingState:
     M = cfg.max_keyframes
+    assert M >= cfg.recent_keyframe_search_num, (
+        "max_keyframes must cover the recent-keyframe window "
+        f"({M} < {cfg.recent_keyframe_search_num})")
     return MappingState(
         graph=pg.init_graph(M, cfg.max_loop_factors, dtype),
         kf_times=jnp.zeros(M, dtype),
@@ -71,6 +76,8 @@ def init_state(cfg: PipelineConfig, dtype=jnp.float32) -> MappingState:
         T_map2odom=jnp.eye(4, dtype=dtype),
         T_map2laser=jnp.eye(4, dtype=dtype),
         last_loop_kf=jnp.int32(-1),
+        loop_attempts=jnp.int32(0),
+        loop_best_fitness=jnp.asarray(jnp.inf, dtype),
         map_corner=jnp.zeros((cfg.map_corner_cap, 3), dtype),
         map_corner_valid=jnp.zeros(cfg.map_corner_cap, bool),
         map_surf=jnp.zeros((cfg.map_surf_cap, 3), dtype),
@@ -377,5 +384,10 @@ def loop_closure_step(ms: MappingState, cfg: PipelineConfig):
 
     do = found & (latest != ms.last_loop_kf) & (ms.graph.count > 1)
     ms, closed, fitness = jax.lax.cond(do, attempt, skip, ms)
-    ms = ms._replace(last_loop_kf=jnp.where(do, latest, ms.last_loop_kf))
+    ms = ms._replace(
+        last_loop_kf=jnp.where(do, latest, ms.last_loop_kf),
+        loop_attempts=ms.loop_attempts + do.astype(jnp.int32),
+        loop_best_fitness=jnp.where(
+            do, jnp.minimum(ms.loop_best_fitness, fitness),
+            ms.loop_best_fitness))
     return ms, closed, fitness

@@ -51,9 +51,13 @@ def slam_step(state: SlamState, points: jnp.ndarray, mask: jnp.ndarray,
     """Process one raw scan. Returns (state, T_map2laser)."""
     # stage 1 + features
     seg = image_projection(points, mask, cfg)
-    if cfg.use_imu:  # static branch: de-skew the segmented cloud (LO.cpp:184)
+    # static branch: de-skew the segmented cloud (LO.cpp:184; the odom-aided
+    # variant LO.cpp:737-795 shares the buffer/interpolation path)
+    if cfg.use_imu or cfg.use_odom:
         pts_ds = deskew.deskew(seg.points, seg.cols, seg.valid, time,
-                               state.imu, cfg)
+                               state.imu, cfg,
+                               orient_start=seg.orient_start,
+                               orient_diff=seg.orient_diff)
         seg = seg._replace(points=pts_ds)
     fc = extract_features(seg, cfg)
 
@@ -133,6 +137,17 @@ class SlamPipeline:
         buf = self._imu_step(self.state.imu, jnp.float32(t),
                              jnp.asarray(rpy, jnp.float32),
                              jnp.asarray(lin_acc, jnp.float32))
+        self.state = self.state._replace(imu=buf)
+
+    def add_odom(self, t: float, rpy, pos, velo=(0.0, 0.0, 0.0)):
+        """Feed one external-odometry sample (the ``use_odom`` input path,
+        LO.cpp:737-795): pose comes from the message, not integrated."""
+        if not hasattr(self, "_odom_step"):
+            self._odom_step = jax.jit(deskew.integrate_odom)
+        buf = self._odom_step(self.state.imu, jnp.float32(t),
+                              jnp.asarray(rpy, jnp.float32),
+                              jnp.asarray(pos, jnp.float32),
+                              jnp.asarray(velo, jnp.float32))
         self.state = self.state._replace(imu=buf)
 
     def process(self, points: np.ndarray, mask: np.ndarray,

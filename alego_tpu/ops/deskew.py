@@ -97,17 +97,30 @@ def _interp(buf: ImuBuffer, t):
     return rpy, shift, velo
 
 
-def deskew(points, cols, valid, scan_time, buf: ImuBuffer, cfg):
+def deskew(points, cols, valid, scan_time, buf: ImuBuffer, cfg,
+           orient_start=None, orient_diff=None):
     """Rotate every return into the sweep-start frame (LO.cpp:663-733).
 
-    points [..., 3], cols [...] column index (proxy for the firing time:
-    rel_t = col / H * scan_period), valid mask. No-op when the buffer has
-    fewer than 2 samples covering the sweep.
+    points [..., 3], cols [...] column index, valid mask.  Firing time: with
+    ``orient_start``/``orient_diff`` given (the cloud_info orientation
+    fields, IP.cpp:120-130) each point's time is its azimuth relative to the
+    measured sweep span — the quantity ``adjustDistortion`` actually
+    interpolates on, correct for non-uniform spins; otherwise the uniform
+    ``col / H * scan_period`` proxy.  No-op when the buffer has fewer than 2
+    samples covering the sweep.
     """
     shape = points.shape[:-1]
     pts = points.reshape(-1, 3)
-    rel_t = (cols.reshape(-1).astype(pts.dtype) / cfg.horizon_scan
-             * cfg.scan_period)
+    if orient_start is not None and orient_diff is not None:
+        two_pi = 2 * jnp.pi
+        theta = (cols.reshape(-1).astype(pts.dtype) + 0.5) \
+            * jnp.asarray(cfg.ang_res_x, pts.dtype)      # azimuth in [0, 2pi)
+        rel = jnp.mod(theta - orient_start, two_pi)
+        rel_t = rel / jnp.maximum(orient_diff, 1e-3) * cfg.scan_period
+        rel_t = jnp.clip(rel_t, 0.0, cfg.scan_period)
+    else:
+        rel_t = (cols.reshape(-1).astype(pts.dtype) / cfg.horizon_scan
+                 * cfg.scan_period)
     t_abs = scan_time + rel_t
 
     rpy_c, shift_c, _ = _interp(buf, t_abs)

@@ -16,6 +16,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import PipelineConfig, LaserType
 
@@ -30,6 +31,10 @@ class RangeImage(NamedTuple):
     ranges: jnp.ndarray   # [R, H] range; INVALID_RANGE where empty
     valid: jnp.ndarray    # [R, H] bool pixel occupied
     ground: jnp.ndarray   # [R, H] bool ground-labelled
+    # sweep orientation metadata (IP.cpp:120-130); defaulted so tests can
+    # fabricate images without it (uniform-spin assumption)
+    orient_start: jnp.ndarray = np.float32(0.0)   # sweep start orientation
+    orient_diff: jnp.ndarray = np.float32(2 * np.pi)  # end - start, (pi, 3pi]
 
 
 def rfans_row_id(vert_deg: jnp.ndarray) -> jnp.ndarray:
@@ -84,6 +89,21 @@ def project_scan(points: jnp.ndarray, mask: jnp.ndarray, cfg: PipelineConfig) ->
     ok = mask & (row >= 0) & (row < R) & (col >= 0) & (col < H)
     flat_idx = jnp.where(ok, row * H + col, R * H)  # out-of-range -> dropped bin
 
+    # sweep start/end orientation from the first/last point in ARRIVAL order
+    # (IP.cpp:120-130): for a real sensor the cloud arrives in firing order,
+    # so these bracket the actual spin; carried through SegmentedScan so
+    # de-skew can use true per-point time instead of the uniform col proxy
+    n = mask.shape[0]
+    first = jnp.argmax(mask)
+    last = n - 1 - jnp.argmax(mask[::-1])
+    start_ori = -jnp.arctan2(y[first], x[first])
+    end_ori = -jnp.arctan2(y[last], x[last]) + 2 * jnp.pi
+    d = end_ori - start_ori
+    end_ori = jnp.where(d > 3 * jnp.pi, end_ori - 2 * jnp.pi,
+                        jnp.where(d < jnp.pi, end_ori + 2 * jnp.pi, end_ori))
+    orient_start = jnp.where(mask.any(), start_ori, 0.0)
+    orient_diff = jnp.where(mask.any(), end_ori - start_ori, 2 * jnp.pi)
+
     # Last-write-wins scatter for range AND coordinates — the reference's
     # exact duplicate-pixel rule (IP.cpp:196-200), and gather-free (a win
     # check would need a 64k random gather, the slowest TPU primitive).
@@ -99,7 +119,9 @@ def project_scan(points: jnp.ndarray, mask: jnp.ndarray, cfg: PipelineConfig) ->
     pts_img = pts_img[: R * H].reshape(R, H, 3)
 
     ground = ground_mask(pts_img, valid, cfg)
-    return RangeImage(points=pts_img, ranges=ranges_img, valid=valid, ground=ground)
+    return RangeImage(points=pts_img, ranges=ranges_img, valid=valid,
+                      ground=ground, orient_start=orient_start,
+                      orient_diff=orient_diff)
 
 
 def ground_mask(pts: jnp.ndarray, valid: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:

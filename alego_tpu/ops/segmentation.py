@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import PipelineConfig
 from .projection import RangeImage
@@ -44,6 +45,10 @@ class SegmentedScan(NamedTuple):
     counts: jnp.ndarray   # [R] int32 points per ring
     outlier_points: jnp.ndarray  # [MO, 3]
     outlier_valid: jnp.ndarray   # [MO] bool
+    # sweep-orientation metadata (cloud_info msg fields 2-4, IP.cpp:120-130);
+    # defaulted to a uniform spin so tests can fabricate scans without it
+    orient_start: jnp.ndarray = np.float32(0.0)
+    orient_diff: jnp.ndarray = np.float32(2 * np.pi)
 
 
 def _neighbor_connectivity(ranges: jnp.ndarray, segmentable: jnp.ndarray,
@@ -224,6 +229,8 @@ def compact(img: RangeImage, seg_ok: jnp.ndarray, outlier_px: jnp.ndarray,
         counts=jnp.minimum(counts, W),
         outlier_points=jnp.where(o_valid[:, None], o_pts, 0.0),
         outlier_valid=o_valid,
+        orient_start=img.orient_start,
+        orient_diff=img.orient_diff,
     )
 
 

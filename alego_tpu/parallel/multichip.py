@@ -102,6 +102,82 @@ def make_distributed_pose_graph_solver(mesh: Mesh, max_kf: int,
 # Combined multi-chip "training step" for the dry run
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Batched multi-sequence SLAM — the product-level mesh mode
+# ---------------------------------------------------------------------------
+
+def make_batched_slam(cfg: PipelineConfig, mesh: Mesh, axis: str = "data"):
+    """One FULL SLAM instance per device, processing B sequences in parallel.
+
+    ``shard_map`` (not vmap) so each device executes its own unbatched
+    ``slam_step`` with real ``lax.cond`` semantics — mapping decimation and
+    loop-closure gating stay branches instead of select-both (a batched vmap
+    would run the ICP every frame on every lane).  State lives sharded on the
+    mesh: per-device memory is one pipeline's state, not B of them.
+
+    Returns (init_fn() -> batched state, step_fn(state, pts [B, N, 3],
+    mask [B, N], t [B]) -> (state, poses [B, 4, 4])), with B = mesh size.
+    """
+    from ..models import pipeline as pl
+
+    B = mesh.shape[axis]
+
+    def init_fn():
+        one = pl.init_state(cfg)
+        batched = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(), one)
+        sh = NamedSharding(mesh, P(axis))
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batched)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P(axis), P(axis)),
+             out_specs=(P(axis), P(axis)),
+             check_vma=False)
+    def _step(state_b, pts_b, mask_b, t_b):
+        st = jax.tree_util.tree_map(lambda x: x[0], state_b)
+        new, pose = pl.slam_step(st, pts_b[0], mask_b[0], t_b[0], cfg)
+        return (jax.tree_util.tree_map(lambda x: x[None], new), pose[None])
+
+    return init_fn, jax.jit(_step)
+
+
+class ShardedSlamPipeline:
+    """Host driver for B concurrent SLAM sequences, one per mesh device
+    (multi-log mapping runs).  API mirrors models.pipeline.SlamPipeline but
+    every input/output carries a leading batch axis."""
+
+    def __init__(self, cfg: PipelineConfig, n_devices: int | None = None):
+        self.cfg = cfg
+        self.mesh = make_mesh(n_devices)
+        self.batch = self.mesh.shape["data"]
+        init_fn, self._step = make_batched_slam(cfg, self.mesh)
+        self.state = init_fn()
+        self.poses = []          # list of [B, 4, 4]
+        self._frame = 0
+
+    def process(self, points, mask, time=None):
+        """points [B, N, 3], mask [B, N] -> map-frame poses [B, 4, 4]."""
+        import numpy as np
+
+        t = (jnp.full((self.batch,), self._frame * self.cfg.scan_period,
+                      jnp.float32) if time is None
+             else jnp.asarray(time, jnp.float32))
+        self.state, pose = self._step(self.state, jnp.asarray(points),
+                                      jnp.asarray(mask), t)
+        self._frame += 1
+        out = np.asarray(pose)
+        self.poses.append(out)
+        return out
+
+    def run(self, points_seq, mask_seq):
+        """points_seq [T, B, N, 3] -> trajectories [T, B, 4, 4]."""
+        import numpy as np
+
+        for k in range(points_seq.shape[0]):
+            self.process(points_seq[k], mask_seq[k])
+        return np.stack(self.poses)
+
+
 def make_multichip_step(cfg: PipelineConfig, mesh: Mesh, max_kf: int,
                         axis: str = "data", max_loops: int = 8):
     """One combined step: sharded front end over a frame batch + distributed

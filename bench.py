@@ -74,7 +74,10 @@ def main():
     log(f"backend: {backend}, devices: {jax.devices()}")
 
     cfg = PipelineConfig()  # full 16 x 4000 geometry
-    n_frames = int(os.environ.get("BENCH_FRAMES", "120"))
+    # 192 frames x 0.2 s = 38.4 s of spin: the closed circuit's tail revisits
+    # its start AFTER the 30 s loop_time_gap (LM.cpp:934), so closures
+    # actually fire — at 120 frames (24 s) no candidate can ever qualify
+    n_frames = int(os.environ.get("BENCH_FRAMES", "192"))
 
     log("rendering/loading synthetic closed-loop sequence...")
     poses, pts, mask = _rendered_sequence(cfg, n_frames, synthetic)
@@ -113,6 +116,8 @@ def main():
     n_loops = int(st2.mapping.graph.loop_count)
     log(f"ATE (unaligned) over {n_frames} frames: {ate:.3f} m")
     log(f"keyframes: {int(st2.mapping.graph.count)}, loops: {n_loops}, "
+        f"attempts: {int(st2.mapping.loop_attempts)}, "
+        f"best fitness: {float(st2.mapping.loop_best_fitness):.3f}, "
         f"overflow: {int(st2.mapping.graph.overflow)}")
     if n_loops == 0:
         log("WARNING: no loop closures fired — headline is not "

@@ -1,0 +1,187 @@
+"""Per-kernel speed-of-light analysis on the real TPU (VERDICT missing #8).
+
+Times every pipeline stage in isolation at the full 16x4000 geometry,
+derives each stage's minimum HBM traffic and useful FLOPs from the config
+shapes, and reports achieved vs peak — so "12.28 ms/frame" decomposes into
+"which stage sits at what fraction of which roof, and where the next 2x
+lives".
+
+Peaks used (TPU v5e / v5 lite, public spec):
+  HBM bandwidth 819 GB/s; MXU 197 TFLOP/s bf16, ~1/6 of that for
+  f32-HIGHEST (6-pass).  The pipeline runs f32 end to end (accuracy:
+  alego_tpu/__init__.py), so the compute roof quoted is the f32 one.
+
+Timing under the tunneled axon backend: block_until_ready does not fence,
+so each stage is wrapped in a scan of K repetitions and fenced with a host
+transfer; per-call time = (t_K - overhead) / K.
+
+Writes benchmarks/roofline.json and prints a table.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(REPO, ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from alego_tpu.config import PipelineConfig
+from alego_tpu.models import pipeline, laser_odometry as lo, laser_mapping as lm
+from alego_tpu.models.image_projection import image_projection
+from alego_tpu.ops.features import extract_features
+from alego_tpu.utils import synthetic
+
+HBM_GBPS = 819.0
+MXU_F32_TFLOPS = 197.0 / 6.0
+
+
+def timed(fn, args, reps=30):
+    """Median per-call seconds via a device-side fori_loop of `reps` calls
+    (first output is carried to defeat DCE), fenced by host transfer."""
+    f1 = jax.jit(fn)
+    out = f1(*args)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0])  # compile+warm
+
+    def body(_, carry):
+        return fn(*args)
+
+    loop = jax.jit(lambda: jax.lax.fori_loop(0, reps, body, f1(*args)))
+    o = loop()
+    _ = np.asarray(jax.tree_util.tree_leaves(o)[0])    # warm the loop program
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        o = loop()
+        _ = np.asarray(jax.tree_util.tree_leaves(o)[0])
+        best = min(best, (time.time() - t0) / reps)
+    return best
+
+
+def main():
+    cfg = PipelineConfig()
+    R, H = cfg.n_scan, cfg.horizon_scan
+    f4 = 4  # bytes per f32
+
+    print("rendering one representative frame...", file=sys.stderr)
+    poses = synthetic.loop_trajectory(8, radius=30.0, speed=1.6, closed=False)
+    world = synthetic.make_world(seed=100, clear_path=poses[:, :2, 3])
+    pts, mask = synthetic.render_sequence(world, poses, cfg, noise=0.01)
+
+    # drive a few real frames to get representative intermediate states
+    state = pipeline.init_state(cfg)
+    step = jax.jit(lambda st, p, m, t: pipeline.slam_step(st, p, m, t, cfg))
+    for k in range(8):
+        state, _ = step(state, jnp.asarray(pts[k]), jnp.asarray(mask[k]),
+                        jnp.float32(k * cfg.scan_period))
+    seg = jax.jit(lambda p, m: image_projection(p, m, cfg))(
+        jnp.asarray(pts[-1]), jnp.asarray(mask[-1]))
+    fc = jax.jit(lambda s: extract_features(s, cfg))(seg)
+
+    rows = []
+
+    def add(name, sec, bytes_, flops, note):
+        gbps = bytes_ / sec / 1e9
+        tflops = flops / sec / 1e12
+        mem_frac = gbps / HBM_GBPS
+        mxu_frac = tflops / MXU_F32_TFLOPS
+        bound = "memory" if mem_frac >= mxu_frac else "compute"
+        rows.append({
+            "stage": name, "ms": round(sec * 1e3, 3),
+            "GB_per_s": round(gbps, 1), "pct_HBM_peak": round(100 * mem_frac, 1),
+            "TFLOP_per_s": round(tflops, 2),
+            "pct_MXU_f32_peak": round(100 * mxu_frac, 1),
+            "bound": bound, "model": note,
+        })
+
+    # --- stage 1: projection + segmentation --------------------------------
+    sec = timed(lambda p, m: image_projection(p, m, cfg),
+                (jnp.asarray(pts[-1]), jnp.asarray(mask[-1])))
+    # traffic: raw in (N*4*4) + ~10 image-shaped passes over [R,H] for
+    # scatter/ground/CCL doubling rounds (log2(H)~12 reach rounds dominate)
+    b = cfg.max_raw_points * 4 * f4 + 14 * R * H * 3 * f4
+    fl = 14 * R * H * 10
+    add("projection+segmentation", sec, b, fl,
+        "raw 4N + ~14 [R,H] image passes (CCL doubling)")
+
+    # --- features ----------------------------------------------------------
+    sec = timed(lambda s: extract_features(s, cfg), (seg,))
+    W = cfg.ring_width
+    b = R * W * (10 * f4)       # curvature window + sort passes per ring
+    fl = R * W * 11 * 2 + R * W * 40
+    add("feature extraction", sec, b, fl, "per-ring curvature + masked picks")
+
+    # --- odometry (two-step GN) -------------------------------------------
+    ost = state.odo
+    sec = timed(lambda st, f: lo.odometry_step(st, f, cfg), (ost, fc))
+    nc, ns = cfg.max_less_sharp, cfg.max_less_flat
+    it = cfg.odom_surf_iters + cfg.odom_corner_iters
+    b = it * (nc + ns) * 3 * f4 * 4
+    fl = it * (nc * nc + ns * ns) * 8   # prev-frame clouds have same caps
+    add("odometry (2-step GN)", sec, b, fl,
+        "KNN distance matmuls dominate (f32 MXU)")
+
+    # --- mapping (KNN + 6-DoF GN + keyframe/ds) ----------------------------
+    ms = state.mapping
+    T = state.T_odom2laser
+    sec = timed(
+        lambda ms_, T_: lm.mapping_step(
+            ms_, T_, fc.less_sharp_pts, fc.less_sharp_valid,
+            fc.less_flat_pts, fc.less_flat_valid,
+            seg.outlier_points, seg.outlier_valid,
+            jnp.float32(1.0), cfg)[0].T_map2laser,
+        (ms, T))
+    q = cfg.max_less_sharp + cfg.max_less_flat
+    mp = cfg.map_corner_cap + cfg.map_surf_cap
+    it = cfg.map_gn_iters * 2
+    fl = it * q * mp * 8          # 5-NN distance matrices every iteration
+    b = it * (q + mp) * 3 * f4 * 2
+    add("mapping (scan-to-map)", sec, b, fl,
+        f"{it}x 5-NN over {q}x{mp} distance matrix — the MXU hot spot")
+
+    # --- loop-closure attempt (ICP) ---------------------------------------
+    sec = timed(lambda ms_: lm.loop_closure_step(ms_, cfg)[0].loop_attempts,
+                (ms,))
+    src, tgt = cfg.loop_latest_cap, cfg.loop_hist_cap
+    fl = cfg.icp_iters * src * tgt * 8
+    b = cfg.icp_iters * (src + tgt) * 3 * f4
+    add("loop closure (ICP+graph)", sec, b, fl,
+        f"{cfg.icp_iters}x 1-NN {src}x{tgt} + factored O(N) graph solve")
+
+    # --- full pipeline step ------------------------------------------------
+    sec = timed(lambda st, p, m, t: pipeline.slam_step(st, p, m, t, cfg)[0].frame,
+                (state, jnp.asarray(pts[-1]), jnp.asarray(mask[-1]),
+                 jnp.float32(2.0)))
+    add("full slam_step (amortized)", sec, 0, 0, "whole-frame composite")
+
+    out = {"device": str(jax.devices()[0]), "peaks":
+           {"hbm_GBps": HBM_GBPS, "mxu_f32_TFLOPs": round(MXU_F32_TFLOPS, 1)},
+           "stages": rows}
+    path = os.path.join(REPO, "benchmarks", "roofline.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+
+    hdr = (f"{'stage':28s} {'ms':>8s} {'GB/s':>7s} {'%HBM':>6s} "
+           f"{'TF/s':>7s} {'%MXU':>6s}  bound")
+    print(hdr)
+    print("-" * len(hdr))
+    for r in rows:
+        print(f"{r['stage']:28s} {r['ms']:8.3f} {r['GB_per_s']:7.1f} "
+              f"{r['pct_HBM_peak']:6.1f} {r['TFLOP_per_s']:7.2f} "
+              f"{r['pct_MXU_f32_peak']:6.1f}  {r['bound']}")
+    print(f"-> {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -21,7 +21,9 @@ def _fake_seg(ranges, cols, ground, counts, cfg):
         cols=jnp.asarray(cols.astype(np.int32)), ground=jnp.asarray(ground & valid),
         valid=jnp.asarray(valid), counts=jnp.asarray(counts.astype(np.int32)),
         outlier_points=jnp.zeros((cfg.max_outlier, 3), jnp.float32),
-        outlier_valid=jnp.zeros(cfg.max_outlier, bool))
+        outlier_valid=jnp.zeros(cfg.max_outlier, bool),
+        orient_start=jnp.float32(0.0),
+        orient_diff=jnp.float32(2 * np.pi))
 
 
 def test_curvature_formula():

@@ -54,3 +54,24 @@ def test_lslidar_c16_sensor_path():
     est = pipe.run_scanned(pts, mask)
     ate = metrics.ate_rmse(est[:, :3, 3], poses[:, :3, 3], align=False)
     assert ate < 0.8, ate
+
+
+def test_pipeline_with_odom_enabled():
+    """use_odom=True: external odometry samples drive the same de-skew path
+    (LO.cpp:737-795); a quiet odom stream is a near-no-op."""
+    cfg = tiny_config().replace(use_odom=True, loop_closure_enabled=False)
+    poses = synthetic.loop_trajectory(8, radius=25.0, speed=0.5, closed=False)
+    world = synthetic.make_world(seed=61, clear_path=poses[:, :2, 3])
+    pts, mask = synthetic.render_sequence(world, poses, cfg, noise=0.01)
+
+    pipe = SlamPipeline(cfg)
+    for k in range(8):
+        for s in range(4):
+            t = k * cfg.scan_period + s * 0.05
+            pipe.add_odom(t, [0.0, 0.0, 0.0], [0.5 * t, 0.0, 0.0],
+                          [0.5, 0.0, 0.0])
+        pipe.process(pts[k], mask[k])
+    est = np.stack(pipe.poses)
+    ate = metrics.ate_rmse(est[:, :3, 3], poses[:, :3, 3], align=False)
+    assert ate < 0.5, ate
+    assert int(pipe.state.imu.count) == 32
