@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..config import PipelineConfig
 from ..ops import se3
-from ..ops.knn import knn
+from ..ops.knn import knn_best as knn
 from ..ops.voxel import voxel_downsample, voxel_downsample_exact, compact_masked
 from ..ops.eig3 import pca_line_fit, plane_fit
 from ..ops.residuals import point_to_line, point_to_plane_fitted

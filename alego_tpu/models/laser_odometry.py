@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..config import PipelineConfig
 from ..ops import se3
 from ..ops.features import FeatureClouds
-from ..ops.knn import nn1, masked_argmin_dist
+from ..ops.knn import nn1_best as nn1, masked_argmin_dist
 from ..ops.residuals import point_to_line, point_to_plane_3pt
 from ..ops.gauss_newton import solve_gn, SURF_DIMS, STEP_B_DIMS
 

@@ -16,14 +16,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .knn import nn1 as _nn1_xla
-
-
-def _nn1(query, qmask, ref, rmask, chunk=4096):
-    """1-NN dispatcher. The fused Pallas kernel (ops/pallas_nn) matches the
-    XLA chunked scan standalone but measured slower inside this while_loop
-    context on v5e, so the XLA path stays default; flip here to experiment."""
-    return _nn1_xla(query, qmask, ref, rmask, chunk=chunk)
+from .knn import nn1_best as _nn1
 
 
 class ICPResult(NamedTuple):

@@ -110,6 +110,25 @@ def nn1(query, qmask, ref, rmask, chunk: int = 4096):
     return jnp.maximum(best_d, 0.0), best_i
 
 
+def knn_best(query, qmask, ref, rmask, k: int, chunk: int = 4096):
+    """Backend dispatcher: on TPU the fused Pallas kernel keeps every
+    distance tile in VMEM and measures 1.9x (corner) / 4.8x (surf) faster
+    than the chunked-matmul path under f32-HIGHEST (benchmarks/
+    nn_shootout.py, v5e); elsewhere (CPU tests) the XLA path runs."""
+    if k <= 8 and jax.default_backend() == "tpu":
+        from .pallas_nn import knn_pallas
+        return knn_pallas(query, qmask, ref, rmask, k=k)
+    return knn(query, qmask, ref, rmask, k, chunk=chunk)
+
+
+def nn1_best(query, qmask, ref, rmask, chunk: int = 4096):
+    """1-NN dispatcher: Pallas on TPU (1.1-1.6x, nn_shootout.py), XLA off."""
+    if jax.default_backend() == "tpu":
+        from .pallas_nn import nn1_pallas
+        return nn1_pallas(query, qmask, ref, rmask)
+    return nn1(query, qmask, ref, rmask, chunk=chunk)
+
+
 def masked_argmin_dist(query: jnp.ndarray, ref: jnp.ndarray, ref_ok: jnp.ndarray):
     """Per-query argmin over a *small* ref set with a per-query mask.
 

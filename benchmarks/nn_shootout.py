@@ -27,8 +27,8 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 
-from alego_tpu.ops.knn import nn1 as nn1_xla
-from alego_tpu.ops.pallas_nn import nn1_pallas
+from alego_tpu.ops.knn import nn1 as nn1_xla, knn as knn_xla
+from alego_tpu.ops.pallas_nn import nn1_pallas, knn_pallas
 
 
 def bench(fn, args, reps=20):
@@ -65,6 +65,27 @@ def main():
         derr = float(np.max(np.abs(np.asarray(dx) - np.asarray(dp))
                             [np.asarray(qm)]))
         print(f"{name:12s} Q={Q} N={N}: xla {tx*1e3:.2f} ms, "
+              f"pallas {tp*1e3:.2f} ms ({tx/tp:.2f}x), "
+              f"idx agree {agree:.4f}, |d2 err| {derr:.2e}", flush=True)
+
+    # the scan-to-map 5-NN (the mapping hot spot: 2x20 GN iterations each
+    # doing corner+surf 5-NN against the local map)
+    for name, Q, N in (("map 5NN corner", 2048, 8192),
+                       ("map 5NN surf", 8192, 16384)):
+        q = jnp.asarray(rng.uniform(-50, 50, (Q, 3)).astype(np.float32))
+        qm = jnp.asarray(rng.random(Q) < 0.9)
+        r = jnp.asarray(rng.uniform(-50, 50, (N, 3)).astype(np.float32))
+        rm = jnp.asarray(rng.random(N) < 0.9)
+        f_x = jax.jit(lambda a, b, c, d: knn_xla(a, b, c, d, 5, chunk=4096))
+        f_p = jax.jit(lambda a, b, c, d: knn_pallas(a, b, c, d, k=5))
+        tx = bench(f_x, (q, qm, r, rm))
+        tp = bench(f_p, (q, qm, r, rm))
+        dx, ix = f_x(q, qm, r, rm)
+        dp, ip = f_p(q, qm, r, rm)
+        qn = np.asarray(qm)
+        agree = float(np.mean(np.asarray(ix)[qn] == np.asarray(ip)[qn]))
+        derr = float(np.max(np.abs(np.asarray(dx)[qn] - np.asarray(dp)[qn])))
+        print(f"{name:14s} Q={Q} N={N}: xla {tx*1e3:.2f} ms, "
               f"pallas {tp*1e3:.2f} ms ({tx/tp:.2f}x), "
               f"idx agree {agree:.4f}, |d2 err| {derr:.2e}", flush=True)
 

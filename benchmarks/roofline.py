@@ -160,10 +160,28 @@ def main():
         f"{cfg.icp_iters}x 1-NN {src}x{tgt} + factored O(N) graph solve")
 
     # --- full pipeline step ------------------------------------------------
-    sec = timed(lambda st, p, m, t: pipeline.slam_step(st, p, m, t, cfg)[0].frame,
-                (state, jnp.asarray(pts[-1]), jnp.asarray(mask[-1]),
-                 jnp.float32(2.0)))
-    add("full slam_step (amortized)", sec, 0, 0, "whole-frame composite")
+    # thread the state through the repetition loop — with constant args XLA
+    # hoists the loop-invariant step out and measures only loop overhead
+    p_in, m_in = jnp.asarray(pts[-1]), jnp.asarray(mask[-1])
+
+    def whole(st):
+        st2, _ = pipeline.slam_step(st, p_in, m_in,
+                                    st.frame.astype(jnp.float32) * 0.2, cfg)
+        return st2
+
+    reps = 16
+    loop = jax.jit(lambda st: jax.lax.fori_loop(0, reps, lambda _, s: whole(s),
+                                                st))
+    o = loop(state)
+    _ = np.asarray(o.frame)
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        o = loop(state)
+        _ = np.asarray(o.frame)
+        best = min(best, (time.time() - t0) / reps)
+    add("full slam_step (threaded)", best, 0, 0,
+        "whole-frame composite (mapping every 2nd frame)")
 
     out = {"device": str(jax.devices()[0]), "peaks":
            {"hbm_GBps": HBM_GBPS, "mxu_f32_TFLOPs": round(MXU_F32_TFLOPS, 1)},

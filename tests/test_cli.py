@@ -27,6 +27,31 @@ def test_cli_resume(tmp_path):
     assert rc == 0
 
 
+def test_cli_viz_and_surround_dumps(tmp_path):
+    """--viz writes the standalone viewer; --dump-every K the periodic
+    surround-map exports (the /laser_cloud_surround publisher equivalent)."""
+    out = str(tmp_path / "out")
+    rc = main(["--synthetic", "6", "--tiny", "--output", out,
+               "--no-loop-closure", "--viz", "--dump-every", "3"])
+    assert rc == 0
+    html = open(os.path.join(out, "viewer.html")).read()
+    assert "<canvas" in html and "const PTS" in html
+    sdir = os.path.join(out, "surround")
+    assert os.path.exists(os.path.join(sdir, "surround_000003.pcd"))
+    assert os.path.exists(os.path.join(sdir, "surround_000006.pcd"))
+    assert os.path.exists(os.path.join(sdir, "pose_000003.npy"))
+
+
+def test_nodelet_preset_values():
+    """--preset nodelet carries the laserMapping.cpp parameter drift."""
+    from alego_tpu.config import nodelet_config
+
+    cfg = nodelet_config()
+    assert cfg.history_search_radius == 20.0    # laserMapping.cpp:76
+    assert cfg.history_fitness_score == 0.4     # laserMapping.cpp:78
+    assert cfg.history_leaf == 1.0              # laserMapping.cpp:41
+
+
 def test_cli_frame_dir(tmp_path):
     # feed .bin frames through the native loader path
     from alego_tpu.config import tiny_config

@@ -36,3 +36,30 @@ def test_nn1_pallas_all_invalid_refs():
     d, i = nn1_pallas(q, jnp.ones(8, bool), r, jnp.zeros(16, bool),
                       interpret=INTERPRET)
     assert float(jnp.min(d)) > 1e29
+
+
+def test_knn_pallas_matches_xla():
+    """The production scan-to-map 5-NN path (knn_best dispatches here on
+    TPU): exact agreement with the chunk-streamed XLA top-k."""
+    from alego_tpu.ops.pallas_nn import knn_pallas
+    from alego_tpu.ops.knn import knn
+
+    rng = np.random.default_rng(3)
+    Q, N, k = 300, 1500, 5
+    q = rng.uniform(-50, 50, (Q, 3)).astype(np.float32)
+    r = rng.uniform(-50, 50, (N, 3)).astype(np.float32)
+    qm = rng.random(Q) < 0.9
+    rm = rng.random(N) < 0.8
+
+    d_p, i_p = knn_pallas(jnp.asarray(q), jnp.asarray(qm), jnp.asarray(r),
+                          jnp.asarray(rm), k=k, tq=128, tr=512,
+                          interpret=INTERPRET)
+    d_x, i_x = knn(jnp.asarray(q), jnp.asarray(qm), jnp.asarray(r),
+                   jnp.asarray(rm), k, chunk=512)
+    np.testing.assert_allclose(np.asarray(d_p)[qm], np.asarray(d_x)[qm],
+                               rtol=1e-4, atol=1e-2)
+    # ascending order
+    dp = np.asarray(d_p)[qm]
+    assert (np.diff(dp, axis=1) >= -1e-5).all()
+    # index agreement modulo exact ties
+    assert (np.asarray(i_p)[qm] == np.asarray(i_x)[qm]).mean() > 0.999
