@@ -167,8 +167,12 @@ def _pick_ring_parallel(curv, cols, ground, picked0, in_window, count,
     Equivalent to :func:`_pick_ring` except that within one iteration every
     sector takes its best eligible point at once; the reference's strict
     sector order only differs when two sectors' picks land within the 5-column
-    suppression radius of each other in the same step — a boundary-local,
-    sub-percent effect — while cutting sequential steps 6x.
+    suppression radius of each other in the same step, while cutting
+    sequential steps 6x.  Measured ATE effect (TPU v5e, f32-HIGHEST, fixed
+    seeds — benchmarks/sector_mode_delta.{py,json}): parallel-vs-exact is
+    +0.10/-0.03/-0.09 m across the three golden scenarios (~0.1 m base ATE)
+    — chaotic trajectory divergence with no systematic bias; parallel wins
+    2 of 3 and stays the default.
     """
     W = curv.shape[0]
     S = cfg.n_sectors
