@@ -115,6 +115,17 @@ def main():
     ate = metrics.ate_rmse(est_np[:, :3, 3], poses[:, :3, 3], align=False)
     n_loops = int(st2.mapping.graph.loop_count)
     log(f"ATE (unaligned) over {n_frames} frames: {ate:.3f} m")
+    # corrected-keypose ATE: the graph retro-corrects keyframe poses on loop
+    # closure (correctPoses, LM.cpp:706-730); the streamed per-frame poses
+    # above never benefit retroactively, so this is the number comparable to
+    # evaluating the reference's final keypose path
+    n_kf = int(st2.mapping.graph.count)
+    kf_poses = np.asarray(st2.mapping.graph.poses)[:n_kf, :3, 3]
+    kf_t = np.asarray(st2.mapping.kf_times)[:n_kf]
+    gt_idx = np.clip(np.round(kf_t / cfg.scan_period).astype(int), 0,
+                     n_frames - 1)
+    kf_ate = metrics.ate_rmse(kf_poses, poses[gt_idx, :3, 3], align=False)
+    log(f"ATE over corrected keypose path ({n_kf} kf): {kf_ate:.3f} m")
     log(f"keyframes: {int(st2.mapping.graph.count)}, loops: {n_loops}, "
         f"attempts: {int(st2.mapping.loop_attempts)}, "
         f"best fitness: {float(st2.mapping.loop_best_fitness):.3f}, "
