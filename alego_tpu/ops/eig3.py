@@ -16,6 +16,19 @@ import jax.numpy as jnp
 EPS = 1e-12
 
 
+def det_3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form determinant of batched [..., 3, 3].
+
+    ``jnp.linalg.det`` lowers to a batched LU on TPU — a serial slow path at
+    mapping batch sizes; this cofactor expansion is pure elementwise VPU work
+    and fuses with its consumers.
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
 def sym_eigvals_3x3(C: jnp.ndarray) -> jnp.ndarray:
     """Eigenvalues of symmetric [..., 3, 3], ascending [l0 <= l1 <= l2]."""
     q = jnp.trace(C, axis1=-2, axis2=-1) / 3.0
@@ -23,7 +36,7 @@ def sym_eigvals_3x3(C: jnp.ndarray) -> jnp.ndarray:
     B = C - q[..., None, None] * I
     p2 = jnp.sum(B * B, axis=(-2, -1)) / 6.0
     p = jnp.sqrt(jnp.maximum(p2, EPS))
-    detB = jnp.linalg.det(B)
+    detB = det_3x3(B)
     r = detB / jnp.maximum(2 * p ** 3, EPS)
     r = jnp.clip(r, -1.0, 1.0)
     phi = jnp.arccos(r) / 3.0
@@ -70,6 +83,19 @@ def plane_fit(neighbors: jnp.ndarray, valid: jnp.ndarray, tol: float):
     Returns (unit_n [..., 3], d0 [...], plane_ok [...]): d0 is the plane
     offset after normalisation; plane_ok requires every valid neighbour within
     ``tol`` of the plane.
+
+    Measured negative result (kept for the record): reformulating this fit
+    with centred coordinates + Sherman-Morrison removes the (|p|/spread)^2
+    conditioning of the raw normal equations and matches an f64 reference fit
+    to cos > 0.9998 at |p| ~ 100 m — yet it *degrades* the composed pipeline
+    (golden arc ATE 0.09 -> 0.19 m, loop closures stop firing), and so does
+    adding a rank-2 scatter gate or replacing the inner GN with
+    accept/reject Levenberg-Marquardt.  The small f32 bias of this raw solve
+    leaks radial (line-of-sight) components into far-range plane normals,
+    which act as range constraints that stabilise feature-poor scenes — the
+    same role the reference's noisy real-world planes play for its exact f64
+    QR fit (LM.cpp:569-581).  Any future change here must re-validate the
+    full golden suite, not just fit accuracy.
     """
     w = valid[..., None].astype(neighbors.dtype)
     A = neighbors * w

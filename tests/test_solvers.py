@@ -152,3 +152,12 @@ def test_plane_fit():
     np.testing.assert_allclose(np.abs(nn), [0, 0, 1], atol=1e-3)
     # plane eq: n.p + d0 = 0 for p on plane
     np.testing.assert_allclose(nn[2] * 2.0 + np.asarray(d0)[0], 0.0, atol=1e-3)
+
+
+def test_det3_matches_numpy():
+    """Closed-form 3x3 det (the TPU fast path replacing the batched-LU
+    lowering of jnp.linalg.det) vs numpy."""
+    rng = np.random.default_rng(11)
+    A = rng.normal(size=(200, 3, 3)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(eig3.det_3x3(jnp.asarray(A))),
+                               np.linalg.det(A), rtol=1e-4, atol=1e-4)
