@@ -1,0 +1,55 @@
+"""Shared TPU timing helper for the benchmark harnesses.
+
+Under the tunneled axon backend every dispatch+fence costs ~30 ms of
+host-side round trip, so a fori_loop of `reps` calls has a floor of
+~30/reps ms per call that swamps sub-millisecond kernels.  `timed()`
+measures that floor once with a trivial body and subtracts it.
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_FLOOR = {}
+
+
+def _measure(loop, reps, rounds=3):
+    o = loop()
+    _ = np.asarray(jax.tree_util.tree_leaves(o)[0])   # warm the program
+    best = np.inf
+    for _ in range(rounds):
+        t0 = time.time()
+        o = loop()
+        _ = np.asarray(jax.tree_util.tree_leaves(o)[0])
+        best = min(best, (time.time() - t0) / reps)
+    return best
+
+
+def dispatch_floor(reps: int) -> float:
+    """Per-call seconds of a trivial fori_loop body at this rep count."""
+    if reps not in _FLOOR:
+        x = jnp.ones((8, 128))
+        loop = jax.jit(
+            lambda: jax.lax.fori_loop(0, reps, lambda _, c: c + 1.0, x))
+        _FLOOR[reps] = _measure(loop, reps)
+    return _FLOOR[reps]
+
+
+def timed(fn, args, reps: int = 30) -> float:
+    """Median per-call seconds of fn(*args), floor-subtracted.
+
+    The body recomputes from constant args each rep (first output carried to
+    defeat DCE); a host transfer fences the tunneled device.
+    """
+    f1 = jax.jit(fn)
+    out = f1(*args)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+    def body(_, carry):
+        return fn(*args)
+
+    loop = jax.jit(lambda: jax.lax.fori_loop(0, reps, body, f1(*args)))
+    raw = _measure(loop, reps)
+    return max(raw - dispatch_floor(reps), 0.0)

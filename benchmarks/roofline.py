@@ -13,7 +13,9 @@ Peaks used (TPU v5e / v5 lite, public spec):
 
 Timing under the tunneled axon backend: block_until_ready does not fence,
 so each stage is wrapped in a scan of K repetitions and fenced with a host
-transfer; per-call time = (t_K - overhead) / K.
+transfer; per-call time = (t_K - overhead) / K, minus the measured
+~30 ms/K dispatch floor (benchmarks/_timing.py) — without the floor
+subtraction every stage reads ~1 ms high at K = 30.
 
 Writes benchmarks/roofline.json and prints a table.
 """
@@ -27,6 +29,7 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "benchmarks"))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(REPO, ".jax_cache"))
 
@@ -47,26 +50,7 @@ HBM_GBPS = 819.0
 MXU_F32_TFLOPS = 197.0 / 6.0
 
 
-def timed(fn, args, reps=30):
-    """Median per-call seconds via a device-side fori_loop of `reps` calls
-    (first output is carried to defeat DCE), fenced by host transfer."""
-    f1 = jax.jit(fn)
-    out = f1(*args)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0])  # compile+warm
-
-    def body(_, carry):
-        return fn(*args)
-
-    loop = jax.jit(lambda: jax.lax.fori_loop(0, reps, body, f1(*args)))
-    o = loop()
-    _ = np.asarray(jax.tree_util.tree_leaves(o)[0])    # warm the loop program
-    best = np.inf
-    for _ in range(3):
-        t0 = time.time()
-        o = loop()
-        _ = np.asarray(jax.tree_util.tree_leaves(o)[0])
-        best = min(best, (time.time() - t0) / reps)
-    return best
+from _timing import timed, dispatch_floor  # noqa: E402 (needs sys.path)
 
 
 def main():
@@ -180,6 +164,7 @@ def main():
         o = loop(state)
         _ = np.asarray(o.frame)
         best = min(best, (time.time() - t0) / reps)
+    best = max(best - dispatch_floor(reps), 0.0)
     add("full slam_step (threaded)", best, 0, 0,
         "whole-frame composite (mapping every 2nd frame)")
 
