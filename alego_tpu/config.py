@@ -96,6 +96,30 @@ class PipelineConfig:
     plane_fit_tol: float = 0.2      # LM.cpp:591
     min_corner_for_map: int = 10    # LM.cpp:495
     min_surf_for_map: int = 100     # LM.cpp:495
+    map_eig_floor: float = 1.0      # LOAM isDegenerate eigen floor on the
+                                    # scan-to-map H: directions of H with
+                                    # eigenvalue below this are unobservable
+                                    # (sparse first-frame maps, corridors) and
+                                    # their update is projected out — upstream
+                                    # LeGO-LOAM uses 100 at ~10x our typical
+                                    # constraint counts; the reference relies
+                                    # on Ceres's trust region instead.
+                                    # Value measured (2026-08) on the two
+                                    # tiny-config scenes whose ~10-30-
+                                    # constraint first frames pull the floor
+                                    # in opposite directions (3-seed median
+                                    # ATE, scene31/scene32):
+                                    #   floor=0    0.92 / 0.13
+                                    #   floor=1    0.19 / 0.11  <- default
+                                    #   floor=10   0.14 / 0.51
+                                    #   Ceres-LM   1.15 / 0.23  (see
+                                    #   gauss_newton.py negative result)
+                                    # Genuinely degenerate dims sit at ridge
+                                    # level (<<1); legitimate weak dims of
+                                    # small solves reach ~1-10, so 10 froze
+                                    # real directions.  Full-config
+                                    # steady-state spectra sit well above 10
+                                    # either way.
     min_keyframe_dist_sq: float = 1.0  # squared-vs-metre quirk (LM.cpp:646-649)
 
     # --- loop closure (LM.cpp:206-213, 800-975) ---

@@ -209,7 +209,8 @@ def _scan_to_map(params0, c_ds, c_ok, st_ds, st_ok,
             return r, J, w
 
         return solve_gn(res_fn, params, cfg.map_gn_iters, FULL_DIMS,
-                        cfg.huber_delta, param_tol=cfg.map_gn_tol)
+                        cfg.huber_delta, param_tol=cfg.map_gn_tol,
+                        eig_floor=cfg.map_eig_floor)
 
     params = jax.lax.fori_loop(0, cfg.map_outer_iters, outer, params0)
     return jnp.where(enough, params, params0)

@@ -29,6 +29,34 @@ def det_3x3(A: jnp.ndarray) -> jnp.ndarray:
     return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
 
 
+def solve_spd_3x3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form Cholesky solve of batched SPD A [..., 3, 3] x = b [..., 3].
+
+    ``jnp.linalg.solve`` lowers to a serial batched LU custom call on TPU —
+    measured 2.75 ms for a [3072, 3, 3] batch on v5e vs 0.05 ms for this
+    unrolled Cholesky (pure elementwise VPU work, fuses with its consumers).
+    Cholesky without pivoting is backward-stable for SPD inputs; callers add
+    a ridge and gate results (plane_ok), as the reference discards bad QR
+    fits (LM.cpp:582-597).
+    """
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    tiny = jnp.asarray(1e-30, A.dtype)
+    l00 = jnp.sqrt(jnp.maximum(a00, tiny))
+    l10 = a01 / l00
+    l20 = a02 / l00
+    l11 = jnp.sqrt(jnp.maximum(a11 - l10 * l10, tiny))
+    l21 = (a12 - l20 * l10) / l11
+    l22 = jnp.sqrt(jnp.maximum(a22 - l20 * l20 - l21 * l21, tiny))
+    y0 = b[..., 0] / l00
+    y1 = (b[..., 1] - l10 * y0) / l11
+    y2 = (b[..., 2] - l20 * y0 - l21 * y1) / l22
+    x2 = y2 / l22
+    x1 = (y1 - l21 * x2) / l11
+    x0 = (y0 - l10 * x1 - l20 * x2) / l00
+    return jnp.stack([x0, x1, x2], -1)
+
+
 def sym_eigvals_3x3(C: jnp.ndarray) -> jnp.ndarray:
     """Eigenvalues of symmetric [..., 3, 3], ascending [l0 <= l1 <= l2]."""
     q = jnp.trace(C, axis1=-2, axis2=-1) / 3.0
@@ -60,6 +88,105 @@ def principal_direction(C: jnp.ndarray, eigvals: jnp.ndarray) -> jnp.ndarray:
     return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, -1, keepdims=True), EPS))
 
 
+def eig_direction(C: jnp.ndarray, la: jnp.ndarray, lb: jnp.ndarray) -> jnp.ndarray:
+    """Unit eigenvector for the *remaining* eigenvalue of symmetric C given
+    the other two eigenvalues ``la``, ``lb`` (Cayley-Hamilton column trick,
+    as :func:`principal_direction`)."""
+    I = jnp.eye(3, dtype=C.dtype)
+    A = (C - la[..., None, None] * I) @ (C - lb[..., None, None] * I)
+    norms = jnp.sum(A * A, axis=-2)
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(A, best[..., None, None].repeat(3, -2), -1)[..., 0]
+    return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, -1, keepdims=True), EPS))
+
+
+def rotation_from_covariance(S: jnp.ndarray) -> jnp.ndarray:
+    """Kabsch rotation from a 3x3 cross-covariance: the R maximising
+    ``tr(R S)`` over SO(3) — closed form, no SVD.
+
+    ``jnp.linalg.svd`` on a single 3x3 costs ~0.09 ms per call on TPU v5e
+    (serial LAPACK-style custom call); inside the 100-iteration loop-closure
+    ICP that is ~9 ms per loop attempt — the dominant loop-closure cost.
+    This closed form is pure elementwise work.
+
+    Derivation: with S = U diag(s) V^T, Kabsch gives R = V D U^T,
+    D = diag(1, 1, sign(det S)) applied to the smallest singular value.
+    V = eigvecs(S^T S) and U's columns are S v_i / s_i, so build both bases
+    right-handed (third column by cross product) and the reflection case
+    resolves automatically: R = sum_i v_i u_i^T.  Rank-1/rank-0 S (collinear
+    correspondence sets) yields a valid rotation built from the dominant
+    direction; callers iterate (ICP) and gate on fitness.
+    """
+    def _unit_or(v, fallback, thresh=1e-12):
+        """Normalise v; where |v| is negligible use ``fallback`` (already
+        unit). Degenerate eigenspaces/rank-deficient S make some directions
+        unobservable — any completion is optimal, it just must stay
+        orthonormal."""
+        n2 = jnp.sum(v * v, -1, keepdims=True)
+        safe = v / jnp.sqrt(jnp.maximum(n2, EPS))
+        return jnp.where(n2 > thresh, safe, fallback)
+
+    def _perp(v):
+        """A deterministic unit vector orthogonal to unit v."""
+        e = jnp.where(jnp.abs(v[..., :1]) < 0.9,
+                      jnp.broadcast_to(jnp.eye(3, dtype=v.dtype)[0], v.shape),
+                      jnp.broadcast_to(jnp.eye(3, dtype=v.dtype)[1], v.shape))
+        w = jnp.cross(v, e)
+        return w / jnp.sqrt(jnp.maximum(jnp.sum(w * w, -1, keepdims=True), EPS))
+
+    # scale-normalise first: the Kabsch rotation is invariant to S -> cS and
+    # real ICP covariances reach ||S|| ~ 1e6 (weight-sum x metre^2 scale),
+    # where the squared column norms of the Cayley-Hamilton products hit
+    # ~1e44 and OVERFLOW f32 — normalising bounds every intermediate O(1)
+    # clamp at the f32 floor only (1e-12 here would mis-normalise small
+    # covariances, e.g. |S| ~ 1e-8, and push the products into the
+    # degeneracy fallbacks)
+    fro = jnp.sqrt(jnp.maximum(jnp.sum(S * S, axis=(-2, -1), keepdims=True),
+                               1e-35))
+    Sn = S / fro
+
+    M = jnp.swapaxes(Sn, -1, -2) @ Sn
+    ev = sym_eigvals_3x3(M)                     # ascending [l0, l1, l2], <= 1
+    e0 = jnp.broadcast_to(jnp.eye(3, dtype=S.dtype)[0], S.shape[:-2] + (3,))
+
+    def _best_col(A):
+        norms = jnp.sum(A * A, axis=-2)
+        best = jnp.argmax(norms, axis=-1)
+        return jnp.take_along_axis(
+            A, best[..., None, None].repeat(3, -2), -1)[..., 0]
+
+    # v2 via Cayley-Hamilton; when l2 ~ l1 the product vanishes — fall back
+    # to the top EIGENPLANE (best column of M - l0 I), then to e0 (full
+    # isotropy, where any orthonormal V is optimal).  The middle eigenvector
+    # is never extracted directly (its signal (l1-l0)(l2-l1) is the weakest
+    # by construction): v0's signal (l1-l0)(l2-l0) is strong exactly when
+    # the top plane is degenerate, so compute v0 and take v1 = v2 x v0.
+    I = jnp.eye(3, dtype=S.dtype)
+    M0 = M - ev[..., 0, None, None] * I
+    plane = _unit_or(_best_col(M0), e0, thresh=1e-12)
+    A2 = M0 @ (M - ev[..., 1, None, None] * I)
+    v2 = _unit_or(_best_col(A2), plane, thresh=1e-12)
+
+    A0 = ((M - ev[..., 1, None, None] * I)
+          @ (M - ev[..., 2, None, None] * I))
+    v0raw = _best_col(A0)
+    v0raw = v0raw - jnp.sum(v0raw * v2, -1, keepdims=True) * v2
+    # weak v0 signal => l1 ~ l0: the bottom subspace is degenerate and any
+    # direction orthogonal to v2 is a valid eigvector
+    v0 = _unit_or(v0raw, _perp(v2), thresh=1e-12)
+    v1 = jnp.cross(v2, v0)                      # right-handed [v0, v1, v2]
+
+    u2 = _unit_or((Sn @ v2[..., None])[..., 0], e0, thresh=1e-12)
+    u1raw = (Sn @ v1[..., None])[..., 0]
+    u1raw = u1raw - jnp.sum(u1raw * u2, -1, keepdims=True) * u2
+    u1 = _unit_or(u1raw, _perp(u2), thresh=1e-12)
+    u0 = jnp.cross(u1, u2)
+
+    return (v2[..., :, None] * u2[..., None, :]
+            + v1[..., :, None] * u1[..., None, :]
+            + v0[..., :, None] * u0[..., None, :])
+
+
 def pca_line_fit(neighbors: jnp.ndarray, valid: jnp.ndarray):
     """Line test on K-NN sets (LM.cpp:523-552).
 
@@ -84,25 +211,29 @@ def plane_fit(neighbors: jnp.ndarray, valid: jnp.ndarray, tol: float):
     offset after normalisation; plane_ok requires every valid neighbour within
     ``tol`` of the plane.
 
-    Measured negative result (kept for the record): reformulating this fit
-    with centred coordinates + Sherman-Morrison removes the (|p|/spread)^2
-    conditioning of the raw normal equations and matches an f64 reference fit
-    to cos > 0.9998 at |p| ~ 100 m — yet it *degrades* the composed pipeline
-    (golden arc ATE 0.09 -> 0.19 m, loop closures stop firing), and so does
-    adding a rank-2 scatter gate or replacing the inner GN with
-    accept/reject Levenberg-Marquardt.  The small f32 bias of this raw solve
-    leaks radial (line-of-sight) components into far-range plane normals,
-    which act as range constraints that stabilise feature-poor scenes — the
-    same role the reference's noisy real-world planes play for its exact f64
-    QR fit (LM.cpp:569-581).  Any future change here must re-validate the
-    full golden suite, not just fit accuracy.
+    Numerics, measured (2026-08): at golden-scene coordinate scale the
+    closed-form Cholesky, the LU lowering, and an f64 reference fit agree to
+    <0.1 deg and produce identical plane_ok sets, yet single-seed end-to-end
+    ATE can still differ 2-4x between them — the recursive pipeline amplifies
+    ulp-level rounding into chaotic trajectory divergence with no systematic
+    bias (variance study across render seeds; regression tests therefore
+    assert on multi-seed medians, never a single run).  The one SYSTEMATIC
+    solver effect ever observed was traced past the fits entirely: sparse
+    first-frame maps make the downstream 6-DoF H rank-deficient, where the
+    unguarded normal-equation step is unbounded noise whose direction flips
+    with any ulp change — fixed at the source by the LOAM eigen-floor
+    projection (gauss_newton.degeneracy_projector), after which the solver
+    lowerings are statistically equivalent and Cholesky wins on cost
+    (2.75 ms -> 0.05 ms per association on v5e).  Reformulations that change
+    the *solved system* (centred Sherman-Morrison, rank gates) stay out:
+    the raw system is the reference's (LM.cpp:569-581).
     """
     w = valid[..., None].astype(neighbors.dtype)
     A = neighbors * w
     AtA = jnp.einsum("...ki,...kj->...ij", A, A)
     Atb = jnp.einsum("...ki->...i", -A)
     AtA = AtA + 1e-6 * jnp.eye(3, dtype=neighbors.dtype)
-    n = jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
+    n = solve_spd_3x3(AtA, Atb)
     n_norm = jnp.sqrt(jnp.maximum(jnp.sum(n * n, -1), EPS))
     d0 = 1.0 / n_norm
     unit_n = n / n_norm[..., None]

@@ -55,20 +55,59 @@ def gn_step(params: jnp.ndarray, r: jnp.ndarray, J: jnp.ndarray,
     return params + delta
 
 
+def degeneracy_projector(H: jnp.ndarray, eig_floor: float) -> jnp.ndarray:
+    """LOAM-style degeneracy guard: P = V diag(lam > floor) V^T.
+
+    Scan-to-map solves can be rank-deficient (first frames against a single
+    sparse keyframe, corridors, open fields): H then has near-zero
+    eigenvalues and the raw normal-equation step is unbounded noise along the
+    unobservable directions.  Upstream LeGO-LOAM computes exactly this
+    eigenvalue test (`isDegenerate`, eigenvalue < 100) and zeroes the update
+    along degenerate eigenvectors; the reference swaps that for Ceres's
+    trust region (LM.cpp:612-622), which bounds the same directions.
+    Projecting the update (delta <- P delta) keeps the well-observed
+    directions converging while freezing the unobservable ones at the prior.
+    """
+    # eigh of a non-finite H poisons every later update through P — fall
+    # back to a conservative full-freeze (P = 0, i.e. keep the warm start)
+    finite = jnp.all(jnp.isfinite(H))
+    lam, V = jnp.linalg.eigh(jnp.where(finite, H, jnp.eye(H.shape[0], dtype=H.dtype)))
+    keep = (lam > eig_floor).astype(H.dtype) * finite.astype(H.dtype)
+    return (V * keep[None, :]) @ V.T
+
+
 def solve_gn(residual_fn: Callable[[jnp.ndarray], tuple],
              params0: jnp.ndarray, iters: int, dim_mask: jnp.ndarray,
              huber_delta: float, damping: float = 1e-6,
-             min_count: int = 0, param_tol: float = 1e-4) -> jnp.ndarray:
+             min_count: int = 0, param_tol: float = 1e-4,
+             eig_floor: float = 0.0) -> jnp.ndarray:
     """GN with ``iters`` max iterations and Ceres-style early stopping:
     the loop exits once the update falls below ``param_tol`` (Ceres stops on
     its tolerances well before max_num_iterations in the common case —
     matching that saves most of the fixed per-iteration kernel overhead that
-    dominates small solves on TPU)."""
+    dominates small solves on TPU).
+
+    ``eig_floor > 0`` enables the LOAM degeneracy projection (see
+    :func:`degeneracy_projector`), computed from H at the warm-start point
+    and held fixed across the solve — mirroring upstream LeGO-LOAM, which
+    evaluates ``isDegenerate`` at iterCount == 0 only.
+    """
+    if eig_floor > 0.0:
+        r0, J0, w0 = residual_fn(params0)
+        hw0 = w0 * huber_weight(r0, huber_delta)
+        Jw0 = J0 * hw0[:, None]
+        H0 = J0.T @ Jw0
+        m = dim_mask.astype(params0.dtype)
+        H0 = H0 * (m[:, None] * m[None, :]) + jnp.diag(1.0 - m)
+        P = degeneracy_projector(H0, eig_floor)
+    else:
+        P = jnp.eye(6, dtype=params0.dtype)
 
     def body(state):
         p, _, it = state
         r, J, w = residual_fn(p)
         p_new = gn_step(p, r, J, w, dim_mask, huber_delta, damping, min_count)
+        p_new = p + P @ (p_new - p)
         step = jnp.max(jnp.abs(p_new - p))
         return p_new, step, it + 1
 
@@ -80,6 +119,20 @@ def solve_gn(residual_fn: Callable[[jnp.ndarray], tuple],
         cond, body, (params0, jnp.asarray(1.0, params0.dtype), jnp.int32(0)))
     return p
 
+
+# Measured negative result (2026-08, kept for the record): a full
+# Ceres-equivalent LM trust region (diag(H)/radius damping, cost-tested
+# accept/reject with Ceres's radius-update policy — the mechanism the
+# reference's own sparse-map solves survive on, LM.cpp:612-622) was
+# implemented here and A/B'd against the eigen-floor projection on the two
+# scenes whose low-constraint first frames pull the floor in opposite
+# directions.  The trust region LOST on both (3-seed median ATE 1.15/0.23 m
+# vs 0.19/0.11 m for floor=1.0): cost-based acceptance cannot tell a true
+# pose correction from OVERFITTING to a sparse first-frame map — steps along
+# quasi-degenerate directions reduce the robust cost too, so they are
+# accepted, while the eigen floor encodes the correct prior that weak
+# directions at low constraint count are noise.  The absolute floor's own
+# limits are documented at config.map_eig_floor.
 
 # Dim masks for the reference's two-step scan-to-scan split
 SURF_DIMS = jnp.array([0, 0, 1, 0, 0, 0], bool)      # z only (utility.h:224-232)

@@ -40,16 +40,34 @@ def dispatch_floor(reps: int) -> float:
 def timed(fn, args, reps: int = 30) -> float:
     """Median per-call seconds of fn(*args), floor-subtracted.
 
-    The body recomputes from constant args each rep (first output carried to
-    defeat DCE); a host transfer fences the tunneled device.
+    A repetition loop with loop-invariant args is NOT a valid timing loop:
+    XLA's loop-invariant code motion hoists the whole body out and the
+    "measurement" reads pure loop overhead (this is exactly what zeroed the
+    loop-closure roofline row at 0.001 ms).  Every float input is therefore
+    perturbed by ``0 * s`` with a carried scalar ``s`` — algebraically a
+    no-op, but not provably so to the compiler (0 * s is NaN-propagating),
+    which pins one real evaluation per iteration.  The adds fuse into their
+    consumers.  A host transfer of the carried output fences the tunneled
+    device.
     """
     f1 = jax.jit(fn)
     out = f1(*args)
     _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
 
-    def body(_, carry):
-        return fn(*args)
+    leaves, treedef = jax.tree_util.tree_flatten(args)
 
-    loop = jax.jit(lambda: jax.lax.fori_loop(0, reps, body, f1(*args)))
+    def perturbed(s):
+        new = [l + (s * 0).astype(l.dtype)
+               if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+               else l for l in leaves]
+        return jax.tree_util.tree_unflatten(treedef, new)
+
+    def body(i, carry):
+        s, _ = carry
+        o = fn(*perturbed(s))
+        return s + 1.0, o
+
+    loop = jax.jit(lambda: jax.lax.fori_loop(
+        0, reps, body, (jnp.float32(1.0), f1(*args))))
     raw = _measure(loop, reps)
     return max(raw - dispatch_floor(reps), 0.0)

@@ -76,6 +76,7 @@ def main():
     rows = []
 
     def add(name, sec, bytes_, flops, note):
+        sec = max(sec, 1e-6)   # floor-subtracted times can clamp to 0
         gbps = bytes_ / sec / 1e9
         tflops = flops / sec / 1e12
         mem_frac = gbps / HBM_GBPS
@@ -149,7 +150,11 @@ def main():
     p_in, m_in = jnp.asarray(pts[-1]), jnp.asarray(mask[-1])
 
     def whole(st):
-        st2, _ = pipeline.slam_step(st, p_in, m_in,
+        # perturb the constant inputs with the carried frame counter: without
+        # this XLA hoists the whole front end (projection/features of p_in)
+        # out of the timing loop as loop-invariant code
+        z = st.frame.astype(jnp.float32) * 0.0
+        st2, _ = pipeline.slam_step(st, p_in + z, m_in,
                                     st.frame.astype(jnp.float32) * 0.2, cfg)
         return st2
 

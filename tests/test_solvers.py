@@ -161,3 +161,97 @@ def test_det3_matches_numpy():
     A = rng.normal(size=(200, 3, 3)).astype(np.float32)
     np.testing.assert_allclose(np.asarray(eig3.det_3x3(jnp.asarray(A))),
                                np.linalg.det(A), rtol=1e-4, atol=1e-4)
+
+
+def test_spd_solve3_matches_lu():
+    """Closed-form SPD Cholesky (the TPU fast path in plane_fit) vs the
+    LU lowering on realistic plane-fit normal equations, incl. the
+    far-from-origin conditioning the fits see at map scale."""
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(128, 1, 3)).astype(np.float32) * 20
+    pts = base + rng.normal(size=(128, 5, 3)).astype(np.float32)
+    AtA = np.einsum("nki,nkj->nij", pts, pts) + 1e-6 * np.eye(3)
+    b = -pts.sum(1)
+    x = np.asarray(eig3.solve_spd_3x3(jnp.asarray(AtA.astype(np.float32)),
+                                      jnp.asarray(b)))
+    want = np.linalg.solve(AtA, b[..., None])[..., 0]   # f64 truth
+    # agreement to the f32 conditioning limit of the system itself (the LU
+    # f32 path deviates comparably; see the variance-study note in eig3)
+    scale = np.abs(want).max(-1)
+    np.testing.assert_allclose(x / scale[:, None], want / scale[:, None],
+                               atol=2e-2)
+
+
+def test_rotation_from_covariance_matches_svd_kabsch():
+    """Closed-form Kabsch (the TPU fast path in ICP) must reach the same
+    tr(R S) optimum as the SVD construction, incl. reflection and
+    rank-deficient covariances (coplanar/collinear correspondence sets)."""
+    rng = np.random.default_rng(20)
+
+    def svd_kabsch(S):
+        U, _, Vt = np.linalg.svd(S)
+        d = np.sign(np.linalg.det(Vt.T @ U.T))
+        D = np.diag([1.0, 1.0, d])
+        return Vt.T @ D @ U.T
+
+    cases = [rng.normal(size=(3, 3)) for _ in range(50)]
+    # realistic ICP covariance scale (weight-sum x metre^2 ~ 1e6): squared
+    # Cayley-Hamilton column norms overflow f32 without the internal
+    # Frobenius normalisation (the bug that silently corrupted every loop
+    # closure before it was caught by the multi-seed study)
+    cases += [rng.normal(size=(3, 3)) * 10.0 ** rng.uniform(-8, 10)
+              for _ in range(30)]
+    # near-degenerate top eigenplane (disc-like scatter)
+    for _ in range(10):
+        q = svd_kabsch(rng.normal(size=(3, 3)))
+        cases.append(q @ np.diag([1.0, 1.0 - 10.0 ** rng.uniform(-7, -3),
+                                  rng.uniform(0, 0.2)]) @ svd_kabsch(rng.normal(size=(3, 3))))
+    # reflective (negative det)
+    cases += [-np.abs(np.diag(rng.uniform(0.5, 2, 3))) @ svd_kabsch(rng.normal(size=(3, 3)))
+              for _ in range(10)]
+    # rank-2 / rank-1
+    for _ in range(10):
+        a, b = rng.normal(size=(2, 3))
+        cases.append(np.outer(a, b) + 0.3 * np.outer(rng.normal(size=3), rng.normal(size=3)) * 0)
+        cases.append(np.outer(a, b) + np.outer(rng.normal(size=3), rng.normal(size=3)))
+    for S in cases:
+        S32 = jnp.asarray(S, jnp.float32)
+        R = np.asarray(eig3.rotation_from_covariance(S32))
+        # proper rotation
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+        assert np.linalg.det(R) > 0.999
+        # same objective as the SVD optimum
+        got = np.trace(R @ S)
+        want = np.trace(svd_kabsch(S) @ S)
+        assert got >= want - 1e-3 * max(1.0, abs(want)), (got, want)
+
+
+def test_degeneracy_projection_freezes_unobservable_dims():
+    """solve_gn with eig_floor (LOAM isDegenerate equivalent): constraints
+    that only observe x and y must leave z at the warm start instead of
+    taking an unbounded step along the H null space, while still converging
+    the observed dims."""
+    from alego_tpu.ops.gauss_newton import solve_gn, FULL_DIMS
+
+    rng = np.random.default_rng(3)
+    n = 64
+    # planes with normals in the xy plane only: z unobservable
+    theta = rng.uniform(0, 2 * np.pi, n)
+    normals = np.stack([np.cos(theta), np.sin(theta), np.zeros(n)], -1)
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    target = np.array([0.3, -0.2, 0.0, 0.0, 0.0, 0.0], np.float32)
+    offs = -(normals * (pts + target[:3])).sum(-1)
+
+    def res_fn(p):
+        moved = pts + p[:3]   # rotation ~ 0 in this toy
+        r = (normals * moved).sum(-1) + offs
+        J = np.zeros((n, 6), np.float32)
+        J[:, :3] = normals
+        return jnp.asarray(r), jnp.asarray(J), jnp.ones(n)
+
+    p0 = jnp.asarray([0.0, 0.0, 0.123, 0.0, 0.0, 0.0], jnp.float32)
+    p = np.asarray(solve_gn(res_fn, p0, 10, FULL_DIMS, huber_delta=10.0,
+                            eig_floor=1.0))
+    np.testing.assert_allclose(p[:2], target[:2], atol=1e-3)
+    # z frozen at the warm start, not dragged by the singular solve
+    assert abs(p[2] - 0.123) < 1e-5, p
