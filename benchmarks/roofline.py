@@ -110,12 +110,16 @@ def main():
     # --- odometry (two-step GN) -------------------------------------------
     ost = state.odo
     sec = timed(lambda st, f: lo.odometry_step(st, f, cfg), (ost, fc))
-    nc, ns = cfg.max_less_sharp, cfg.max_less_flat
-    it = cfg.odom_surf_iters + cfg.odom_corner_iters
-    b = it * (nc + ns) * 3 * f4 * 4
-    fl = it * (nc * nc + ns * ns) * 8   # prev-frame clouds have same caps
+    # association runs ONCE per step (surf assoc -> 5-iter z solve; corner
+    # assoc -> 5-iter joint solve); the GN iterations are [Q,6] einsums with
+    # negligible flops.  An earlier model multiplied the 1-NN matrices by
+    # the iteration count and overstated flops ~150x.
+    fl = (cfg.max_flat * cfg.max_less_flat
+          + cfg.max_sharp * cfg.max_less_sharp) * 8
+    b = (cfg.max_flat + cfg.max_less_flat
+         + cfg.max_sharp + cfg.max_less_sharp) * 3 * f4 * 2
     add("odometry (2-step GN)", sec, b, fl,
-        "KNN distance matmuls dominate (f32 MXU)")
+        "one-shot 1-NN association + 2x masked GN; dispatch-latency-bound")
 
     # --- mapping (KNN + 6-DoF GN + keyframe/ds) ----------------------------
     ms = state.mapping
@@ -127,22 +131,37 @@ def main():
             seg.outlier_points, seg.outlier_valid,
             jnp.float32(1.0), cfg)[0].T_map2laser,
         (ms, T))
-    q = cfg.max_less_sharp + cfg.max_less_flat
-    mp = cfg.map_corner_cap + cfg.map_surf_cap
-    it = cfg.map_gn_iters * 2
-    fl = it * q * mp * 8          # 5-NN distance matrices every iteration
-    b = it * (q + mp) * 3 * f4 * 2
+    # association runs once per OUTER iteration (2x), not per GN iteration —
+    # an earlier model multiplied by map_gn_iters and overstated flops ~24x
+    qc, qs = cfg.kf_corner_cap, cfg.kf_surf_cap + cfg.kf_outlier_cap
+    mc, msf = cfg.map_corner_cap, cfg.map_surf_cap
+    fl = cfg.map_outer_iters * 8 * (qc * mc + qs * msf)
+    b = cfg.map_outer_iters * (qc + mc + qs + msf) * 3 * f4 * 2
     add("mapping (scan-to-map)", sec, b, fl,
-        f"{it}x 5-NN over {q}x{mp} distance matrix — the MXU hot spot")
+        f"{cfg.map_outer_iters}x [5-NN {qc}x{mc} + {qs}x{msf} assoc "
+        "+ <=20-iter GN]; line/plane fits + gathers dominate, not flops")
 
     # --- loop-closure attempt (ICP) ---------------------------------------
-    sec = timed(lambda ms_: lm.loop_closure_step(ms_, cfg)[0].loop_attempts,
-                (ms,))
-    src, tgt = cfg.loop_latest_cap, cfg.loop_hist_cap
-    fl = cfg.icp_iters * src * tgt * 8
-    b = cfg.icp_iters * (src + tgt) * 3 * f4
-    add("loop closure (ICP+graph)", sec, b, fl,
-        f"{cfg.icp_iters}x 1-NN {src}x{tgt} + factored O(N) graph solve")
+    # loop_closure_step on an 8-frame state takes the no-candidate lax.cond
+    # branch (detect_loop finds nothing inside loop_time_gap) — timing it
+    # would measure the no-op arm (exactly the 0.038 ms mistake this row
+    # once shipped with).  Time the production ICP kernel itself at the
+    # full loop capacities instead: that is what a real attempt pays.
+    from alego_tpu.ops.icp import icp_point_to_point
+    src_n, tgt_n = cfg.loop_latest_cap, cfg.loop_hist_cap
+    rng_l = np.random.default_rng(5)
+    tgt_pts = jnp.asarray(rng_l.uniform(-30, 30, (tgt_n, 3)), jnp.float32)
+    src_pts = (jnp.asarray(rng_l.uniform(-30, 30, (src_n, 3)), jnp.float32)
+               + jnp.asarray([0.4, -0.2, 0.1], jnp.float32))
+    sec = timed(lambda s, t: icp_point_to_point(
+        s, jnp.ones(src_n, bool), t, jnp.ones(tgt_n, bool),
+        cfg.icp_iters, cfg.icp_max_corr_dist, cfg.icp_translation_eps
+    ).transform, (src_pts, tgt_pts))
+    fl = cfg.icp_iters * src_n * tgt_n * 8
+    b = cfg.icp_iters * (src_n + tgt_n) * 3 * f4
+    add("loop ICP attempt (kernel)", sec, b, fl,
+        f"<= {cfg.icp_iters}x 1-NN {src_n}x{tgt_n}; flops model assumes all "
+        "iters, so %peak is an upper bound when the eps early-stop fires")
 
     # --- full pipeline step ------------------------------------------------
     # thread the state through the repetition loop — with constant args XLA
