@@ -52,6 +52,7 @@ class PoseGraph(NamedTuple):
     count:      scalar int32 active poses
     loop_count: scalar int32 active loop factors
     overflow:   scalar int32 keyframes rejected at capacity
+    loop_overflow: scalar int32 loop factors rejected at capacity
     """
 
     poses: jnp.ndarray
@@ -63,6 +64,7 @@ class PoseGraph(NamedTuple):
     count: jnp.ndarray
     loop_count: jnp.ndarray
     overflow: jnp.ndarray
+    loop_overflow: jnp.ndarray
 
 
 def init_graph(max_kf: int, max_loops: int, dtype=jnp.float32) -> PoseGraph:
@@ -74,7 +76,7 @@ def init_graph(max_kf: int, max_loops: int, dtype=jnp.float32) -> PoseGraph:
         loop_rel=jnp.broadcast_to(jnp.eye(4, dtype=dtype), (max_loops, 4, 4)),
         loop_w=jnp.zeros(max_loops, dtype),
         count=jnp.int32(0), loop_count=jnp.int32(0),
-        overflow=jnp.int32(0),
+        overflow=jnp.int32(0), loop_overflow=jnp.int32(0),
     )
 
 
@@ -99,14 +101,24 @@ def add_keyframe(g: PoseGraph, pose: jnp.ndarray) -> PoseGraph:
 
 
 def add_loop_factor(g: PoseGraph, i, j, rel, weight) -> PoseGraph:
+    """Append a loop factor.  At capacity the factor is REJECTED and
+    counted in ``loop_overflow`` — overwriting the newest slot would
+    silently destroy an accepted constraint (same policy as
+    :func:`add_keyframe`)."""
     cap = g.loop_w.shape[0]
+    at_cap = g.loop_count >= cap
     l = jnp.minimum(g.loop_count, cap - 1)
+
+    def put(a, v):
+        return jnp.where(at_cap, a, a.at[l].set(v))
+
     return g._replace(
-        loop_i=g.loop_i.at[l].set(i.astype(jnp.int32)),
-        loop_j=g.loop_j.at[l].set(j.astype(jnp.int32)),
-        loop_rel=g.loop_rel.at[l].set(rel),
-        loop_w=g.loop_w.at[l].set(weight),
-        loop_count=jnp.minimum(g.loop_count + 1, cap),
+        loop_i=put(g.loop_i, i.astype(jnp.int32)),
+        loop_j=put(g.loop_j, j.astype(jnp.int32)),
+        loop_rel=put(g.loop_rel, rel),
+        loop_w=put(g.loop_w, weight),
+        loop_count=jnp.where(at_cap, g.loop_count, g.loop_count + 1),
+        loop_overflow=g.loop_overflow + at_cap.astype(jnp.int32),
     )
 
 
@@ -208,8 +220,15 @@ def optimize_dense(g: PoseGraph, chain_sigma, iters: int = 10,
     return jax.lax.fori_loop(0, iters, body, g)
 
 
+# Shared production-solver defaults: parallel/schur.py's distributed variant
+# must converge identically to this single-device path, so both read these.
+DEFAULT_MAX_STEP = 1.0
+DEFAULT_LOOP_W_SCALE = 1.0
+
+
 def optimize(g: PoseGraph, chain_sigma, iters: int = 3,
-             loop_w_scale: float = 1.0, max_step: float = 1.0) -> PoseGraph:
+             loop_w_scale: float = DEFAULT_LOOP_W_SCALE,
+             max_step: float = DEFAULT_MAX_STEP) -> PoseGraph:
     """Production GN: factored O(N) chain solve + low-rank loop fold-in.
 
     Identical linear system to :func:`optimize_dense` (at damping 0): the

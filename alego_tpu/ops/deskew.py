@@ -115,7 +115,15 @@ def deskew(points, cols, valid, scan_time, buf: ImuBuffer, cfg,
         two_pi = 2 * jnp.pi
         theta = (cols.reshape(-1).astype(pts.dtype) + 0.5) \
             * jnp.asarray(cfg.ang_res_x, pts.dtype)      # azimuth in [0, 2pi)
-        rel = jnp.mod(theta - orient_start, two_pi)
+        # wrap with a small negative margin: a start-column point whose
+        # bin centre sits just BEFORE orient_start must read as slightly
+        # negative time (clipped to 0, like the reference's relTime which
+        # may go slightly negative, LO.cpp:680-700) — a plain mod would
+        # alias it to ~2pi, a full-sweep timing error.  The margin trades
+        # that for misattributing only points in the final 0.05 rad (~0.8%)
+        # of the spin.
+        margin = jnp.asarray(0.05, pts.dtype)
+        rel = jnp.mod(theta - orient_start + margin, two_pi) - margin
         rel_t = rel / jnp.maximum(orient_diff, 1e-3) * cfg.scan_period
         rel_t = jnp.clip(rel_t, 0.0, cfg.scan_period)
     else:

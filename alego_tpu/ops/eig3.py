@@ -88,18 +88,6 @@ def principal_direction(C: jnp.ndarray, eigvals: jnp.ndarray) -> jnp.ndarray:
     return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, -1, keepdims=True), EPS))
 
 
-def eig_direction(C: jnp.ndarray, la: jnp.ndarray, lb: jnp.ndarray) -> jnp.ndarray:
-    """Unit eigenvector for the *remaining* eigenvalue of symmetric C given
-    the other two eigenvalues ``la``, ``lb`` (Cayley-Hamilton column trick,
-    as :func:`principal_direction`)."""
-    I = jnp.eye(3, dtype=C.dtype)
-    A = (C - la[..., None, None] * I) @ (C - lb[..., None, None] * I)
-    norms = jnp.sum(A * A, axis=-2)
-    best = jnp.argmax(norms, axis=-1)
-    v = jnp.take_along_axis(A, best[..., None, None].repeat(3, -2), -1)[..., 0]
-    return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, -1, keepdims=True), EPS))
-
-
 def rotation_from_covariance(S: jnp.ndarray) -> jnp.ndarray:
     """Kabsch rotation from a 3x3 cross-covariance: the R maximising
     ``tr(R S)`` over SO(3) — closed form, no SVD.
@@ -176,10 +164,17 @@ def rotation_from_covariance(S: jnp.ndarray) -> jnp.ndarray:
     v0 = _unit_or(v0raw, _perp(v2), thresh=1e-12)
     v1 = jnp.cross(v2, v0)                      # right-handed [v0, v1, v2]
 
-    u2 = _unit_or((Sn @ v2[..., None])[..., 0], e0, thresh=1e-12)
+    # u-basis fallbacks must PAIR with the v-basis (u_i -> v_i), not with an
+    # arbitrary frame: unpaired fallbacks made R(S ~ 0) a fixed 90-degree
+    # rotation, so an ICP attempt with zero in-range correspondences (w = 0,
+    # S = 0 — e.g. a bad loop candidate beyond max_corr_dist) spun the
+    # transform every iteration instead of returning identity
+    u2 = _unit_or((Sn @ v2[..., None])[..., 0], v2, thresh=1e-12)
     u1raw = (Sn @ v1[..., None])[..., 0]
     u1raw = u1raw - jnp.sum(u1raw * u2, -1, keepdims=True) * u2
-    u1 = _unit_or(u1raw, _perp(u2), thresh=1e-12)
+    v1p = v1 - jnp.sum(v1 * u2, -1, keepdims=True) * u2
+    u1 = _unit_or(u1raw, _unit_or(v1p, _perp(u2), thresh=1e-12),
+                  thresh=1e-12)
     u0 = jnp.cross(u1, u2)
 
     return (v2[..., :, None] * u2[..., None, :]

@@ -90,33 +90,37 @@ def solve_gn(residual_fn: Callable[[jnp.ndarray], tuple],
     ``eig_floor > 0`` enables the LOAM degeneracy projection (see
     :func:`degeneracy_projector`), computed from H at the warm-start point
     and held fixed across the solve — mirroring upstream LeGO-LOAM, which
-    evaluates ``isDegenerate`` at iterCount == 0 only.
+    evaluates ``isDegenerate`` at iterCount == 0 only.  The projector is
+    built inside the FIRST loop iteration from that iteration's own
+    linearisation (no extra residual/Jacobian evaluation).
     """
-    if eig_floor > 0.0:
-        r0, J0, w0 = residual_fn(params0)
-        hw0 = w0 * huber_weight(r0, huber_delta)
-        Jw0 = J0 * hw0[:, None]
-        H0 = J0.T @ Jw0
-        m = dim_mask.astype(params0.dtype)
-        H0 = H0 * (m[:, None] * m[None, :]) + jnp.diag(1.0 - m)
-        P = degeneracy_projector(H0, eig_floor)
-    else:
-        P = jnp.eye(6, dtype=params0.dtype)
+    use_proj = eig_floor > 0.0
+    I6 = jnp.eye(6, dtype=params0.dtype)
+    m = dim_mask.astype(params0.dtype)
 
     def body(state):
-        p, _, it = state
+        p, P, _, it = state
         r, J, w = residual_fn(p)
+        if use_proj:
+            def make_P(_):
+                hw = w * huber_weight(r, huber_delta)
+                H0 = J.T @ (J * hw[:, None])
+                H0 = H0 * (m[:, None] * m[None, :]) + jnp.diag(1.0 - m)
+                return degeneracy_projector(H0, eig_floor)
+
+            P = jax.lax.cond(it == 0, make_P, lambda _: P, None)
         p_new = gn_step(p, r, J, w, dim_mask, huber_delta, damping, min_count)
         p_new = p + P @ (p_new - p)
         step = jnp.max(jnp.abs(p_new - p))
-        return p_new, step, it + 1
+        return p_new, P, step, it + 1
 
     def cond(state):
-        _, step, it = state
+        _, _, step, it = state
         return (it < iters) & (step > param_tol)
 
-    p, _, _ = jax.lax.while_loop(
-        cond, body, (params0, jnp.asarray(1.0, params0.dtype), jnp.int32(0)))
+    p, _, _, _ = jax.lax.while_loop(
+        cond, body, (params0, I6, jnp.asarray(1.0, params0.dtype),
+                     jnp.int32(0)))
     return p
 
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 from jax import shard_map
 
-from ..ops.knn import knn_best, BIG
+from ..ops.knn import knn_best
 
 
 def make_sharded_map_knn(mesh: Mesh, k: int, axis: str = "data",

@@ -82,6 +82,13 @@ def make_distributed_pose_graph_solver(mesh: Mesh, max_kf: int,
 
     Returns jitted fn (poses [N,4,4], chain_rel [N,4,4], active [N])
     -> optimized poses [N,4,4] (all replicated).
+
+    ``active`` must be a PREFIX mask (keyframe chains always are: nodes are
+    appended, never deleted — pose_graph.add_keyframe).  The chain solver
+    indexes factors by position, so a mask with an interior hole has no
+    well-defined chain; anything after the first False is treated inactive
+    (leading-run count), rather than letting sum(active) silently activate
+    the wrong nodes.
     """
     from .schur import make_schur_solver
 
@@ -91,8 +98,8 @@ def make_distributed_pose_graph_solver(mesh: Mesh, max_kf: int,
     @jax.jit
     def solve(poses, chain_rel, active):
         g = pg.init_graph(max_kf, max_loops, poses.dtype)
-        g = g._replace(poses=poses, chain_rel=chain_rel,
-                       count=jnp.sum(active.astype(jnp.int32)))
+        count = jnp.sum(jnp.cumprod(active.astype(jnp.int32)))
+        g = g._replace(poses=poses, chain_rel=chain_rel, count=count)
         return solver(g).poses
 
     return solve

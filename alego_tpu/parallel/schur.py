@@ -59,7 +59,8 @@ def per_device_bytes(N: int, n_dev: int, Lf: int) -> int:
 
 def make_schur_solver(mesh: Mesh, N: int, Lf: int, chain_sigma,
                       iters: int = 3, axis: str = "data",
-                      max_step: float = 5.0):
+                      max_step: float = pg.DEFAULT_MAX_STEP,
+                      loop_w_scale: float = pg.DEFAULT_LOOP_W_SCALE):
     """jitted fn(PoseGraph) -> PoseGraph, distributed over ``mesh``.
 
     ``N`` must equal the graph capacity and divide the mesh size; ``Lf``
@@ -208,7 +209,7 @@ def make_schur_solver(mesh: Mesh, N: int, Lf: int, chain_sigma,
         Xl_j = g.poses[g.loop_j]
         r_l, Jr_l, Ad_l = pg._between_parts(Xl_i, Xl_j, g.loop_rel)
         lmask = jnp.arange(Lf) < g.loop_count
-        w_l = jnp.where(lmask, g.loop_w, 0.0)
+        w_l = jnp.where(lmask, g.loop_w, 0.0) * loop_w_scale
         Ji_l = -Jr_l @ Ad_l
         r_p = se3.se3_log(se3.inv_mat(g.chain_rel[0]) @ g.poses[0])
 

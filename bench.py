@@ -129,7 +129,8 @@ def main():
     log(f"keyframes: {int(st2.mapping.graph.count)}, loops: {n_loops}, "
         f"attempts: {int(st2.mapping.loop_attempts)}, "
         f"best fitness: {float(st2.mapping.loop_best_fitness):.3f}, "
-        f"overflow: {int(st2.mapping.graph.overflow)}")
+        f"overflow: {int(st2.mapping.graph.overflow)}, "
+        f"loop overflow: {int(st2.mapping.graph.loop_overflow)}")
     if n_loops == 0:
         log("WARNING: no loop closures fired — headline is not "
             "loop-inclusive at this frame count")

@@ -69,3 +69,32 @@ def test_deskew_noop_without_imu():
     out = deskew.deskew(jnp.asarray(pts), jnp.zeros(10, jnp.int32),
                         jnp.ones(10, bool), jnp.float32(0.0), buf, cfg)
     np.testing.assert_allclose(np.asarray(out), pts)
+
+
+def test_orientation_rel_time_no_full_sweep_wrap():
+    """A start-column point whose bin centre sits just BEFORE orient_start
+    must get rel_t ~ 0 (slightly-negative time clipped, LO.cpp:680-700),
+    not alias to a full sweep period through the mod wrap."""
+    cfg = tiny_config()
+    buf = deskew.init_buffer(64)
+    for k in range(12):                     # any valid buffer (>= 2 samples)
+        t = k * 0.05
+        buf = deskew.integrate_imu(
+            buf, jnp.float32(t),
+            jnp.asarray([0.0, 0.0, 0.8 * t], jnp.float32),
+            jnp.asarray([0.0, 0.0, deskew.GRAVITY], jnp.float32))
+
+    # sweep starts mid-column: orient_start just AFTER column 0's centre
+    col0_center = 0.5 * cfg.ang_res_x
+    orient_start = jnp.float32(col0_center + 0.01)
+    orient_diff = jnp.float32(2 * np.pi)
+
+    pts = jnp.asarray(np.tile([[5.0, 0.0, 0.0]], (2, 1)), jnp.float32)
+    cols = jnp.asarray([0, 1], jnp.int32)   # col 0: centre BEFORE start
+    out = deskew.deskew(pts, cols, jnp.ones(2, bool), jnp.float32(0.3),
+                        buf, cfg, orient_start=orient_start,
+                        orient_diff=orient_diff)
+    # both neighbouring columns must de-skew nearly identically (both are
+    # start-of-sweep); the old wrap gave col 0 an end-of-sweep pose
+    delta = float(jnp.abs(out[0] - out[1]).max())
+    assert delta < 0.05, delta

@@ -291,3 +291,27 @@ def test_keyframe_capacity_overflow_policy():
     # optimizing an at-capacity graph stays finite and inert (no residuals)
     out = pg.optimize(g, (1e-4,) * 6, iters=2)
     np.testing.assert_allclose(np.asarray(out.poses)[:cap], got, atol=1e-4)
+
+
+def test_loop_factor_capacity_overflow_policy():
+    """Loop factors beyond capacity are rejected and counted — overwriting
+    the newest slot would silently destroy an accepted loop constraint."""
+    cap_l = 4
+    g = pg.init_graph(16, cap_l)
+    for k in range(10):
+        g = pg.add_keyframe(g, jnp.asarray(np.eye(4, dtype=np.float32)))
+    rels = []
+    for k in range(cap_l + 2):
+        rel = np.eye(4, dtype=np.float32)
+        rel[0, 3] = 10.0 + k          # distinguishable measurements
+        rels.append(rel)
+        g = pg.add_loop_factor(g, jnp.int32(8), jnp.int32(k),
+                               jnp.asarray(rel), jnp.float32(1.0))
+    assert int(g.loop_count) == cap_l
+    assert int(g.loop_overflow) == 2
+    # the first cap_l accepted factors are intact (slot cap_l-1 NOT
+    # overwritten by the rejected ones)
+    np.testing.assert_allclose(np.asarray(g.loop_rel)[:cap_l],
+                               np.stack(rels[:cap_l]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g.loop_j)[:cap_l],
+                               np.arange(cap_l), atol=0)

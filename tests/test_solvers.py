@@ -214,7 +214,14 @@ def test_rotation_from_covariance_matches_svd_kabsch():
         a, b = rng.normal(size=(2, 3))
         cases.append(np.outer(a, b) + 0.3 * np.outer(rng.normal(size=3), rng.normal(size=3)) * 0)
         cases.append(np.outer(a, b) + np.outer(rng.normal(size=3), rng.normal(size=3)))
-    for S in cases:
+    # S ~ 0 (zero in-range correspondences, or a single centred point):
+    # must return a proper rotation ~ IDENTITY, not an arbitrary frame —
+    # unpaired degenerate fallbacks once made R(0) a fixed 90-deg rotation
+    # that spun every bad-candidate ICP attempt
+    cases += [np.zeros((3, 3)), np.eye(3) * 1e-20, np.full((3, 3), 1e-25)]
+    for S in [np.zeros((3, 3)), np.eye(3) * 1e-20]:
+        R0 = np.asarray(eig3.rotation_from_covariance(jnp.asarray(S, jnp.float32)))
+        np.testing.assert_allclose(R0, np.eye(3), atol=1e-4)
         S32 = jnp.asarray(S, jnp.float32)
         R = np.asarray(eig3.rotation_from_covariance(S32))
         # proper rotation
