@@ -213,13 +213,29 @@ class SlamPipeline:
         return out
 
     # ---- checkpoint/resume (new capability; reference has none) ----
+    def _state_schema(self) -> str:
+        """Structure fingerprint: treedef + per-leaf shape/dtype.  Leaves are
+        stored positionally, so ANY state-structure change (a new field, a
+        capacity change) silently misassigns arrays without this check."""
+        flat, treedef = jax.tree_util.tree_flatten(self.state)
+        leaves = ";".join(f"{tuple(x.shape)}:{x.dtype}" for x in flat)
+        return f"{treedef}|{leaves}"
+
     def save_checkpoint(self, path: str):
         flat, treedef = jax.tree_util.tree_flatten(self.state)
         np.savez(path, *[np.asarray(x) for x in flat],
-                 frame=self._frame)
+                 frame=self._frame,
+                 schema=np.asarray(self._state_schema()))
 
     def load_checkpoint(self, path: str):
         data = np.load(path)
+        if "schema" in data.files:
+            saved = str(data["schema"])
+            if saved != self._state_schema():
+                raise ValueError(
+                    f"checkpoint {path} was written by an incompatible "
+                    "pipeline state layout (different code version or "
+                    "config capacities); re-run from the source data")
         flat, treedef = jax.tree_util.tree_flatten(self.state)
         arrays = [jnp.asarray(data[f"arr_{i}"]) for i in range(len(flat))]
         self.state = jax.tree_util.tree_unflatten(treedef, arrays)

@@ -90,3 +90,30 @@ def test_cli_mesh_mode(tmp_path):
         rows = np.loadtxt(p)
         assert rows.shape == (6, 8)
         assert np.isfinite(rows).all()
+
+
+def test_checkpoint_schema_mismatch_rejected(tmp_path):
+    """A checkpoint from a different state layout (code version / capacity
+    config) must fail loudly, not silently misassign positional arrays."""
+    import pytest
+    from alego_tpu.config import tiny_config
+    from alego_tpu.models.pipeline import SlamPipeline
+    from alego_tpu.utils import synthetic
+
+    cfg = tiny_config().replace(loop_closure_enabled=False)
+    world = synthetic.make_world(seed=3)
+    poses = synthetic.loop_trajectory(4, radius=25.0, speed=0.8, closed=False)
+    pts, mask = synthetic.render_sequence(world, poses, cfg)
+    pipe = SlamPipeline(cfg)
+    pipe.run(pts, mask)
+    ck = str(tmp_path / "state.npz")
+    pipe.save_checkpoint(ck)
+
+    # same layout loads fine
+    pipe2 = SlamPipeline(cfg)
+    pipe2.load_checkpoint(ck)
+
+    # different capacities -> different layout -> loud rejection
+    pipe3 = SlamPipeline(cfg.replace(max_keyframes=128))
+    with pytest.raises(ValueError, match="incompatible"):
+        pipe3.load_checkpoint(ck)
