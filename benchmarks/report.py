@@ -32,9 +32,16 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__),
                                                   "report.json"))
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon sitecustomize "
+                         "overrides JAX_PLATFORMS at interpreter start, so "
+                         "an env var alone cannot)")
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.cpu or os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
