@@ -153,11 +153,19 @@ def label_components(img: RangeImage, cfg: PipelineConfig):
     ones = segmentable.reshape(-1).astype(jnp.int32)
     sizes = jnp.zeros(R * H + 1, jnp.int32).at[flat_labels].add(ones)
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, H), 0).reshape(-1)
-    pair_idx = jnp.where(segmentable.reshape(-1), labels.reshape(-1) * R + row_ids, R * H * R)
-    presence = jnp.zeros(R * H * R + 1, jnp.int32).at[pair_idx].max(ones)
-    line_cnt = presence[: R * H * R].reshape(R * H, R).sum(-1)
-    line_cnt = jnp.concatenate([line_cnt, jnp.zeros((1,), jnp.int32)])
+    # distinct-ring count per component (seg_valid_line_num, IP.cpp:389-397):
+    # sort each row's labels and count first occurrences — a component
+    # appears in row r iff exactly one first-occurrence indicator fires
+    # there.  (The previous formulation scatter-maxed 64k (label,row) pairs
+    # into an R*H*R ~ 1M buffer and reduced it; row-sorts + a same-sized
+    # scatter-add keep everything at 64k.)
+    srt = jax.lax.sort(jnp.where(segmentable, labels, big), dimension=1)
+    prev = jnp.concatenate(
+        [jnp.full((R, 1), -1, jnp.int32), srt[:, :-1]], axis=1)
+    first = (srt != prev) & (srt < big)
+    line_cnt = jnp.zeros(R * H + 1, jnp.int32).at[
+        jnp.where(first, srt, big).reshape(-1)
+    ].add(first.reshape(-1).astype(jnp.int32))
 
     comp_valid = (sizes >= cfg.seg_big_cluster) | (
         (sizes >= cfg.seg_valid_point_num) & (line_cnt >= cfg.seg_valid_line_num))
