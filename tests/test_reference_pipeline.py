@@ -9,7 +9,10 @@ missing #4).
 
 Measured baseline (2026-08): max per-frame translation diff 0.078 m over 38 m
 of arc; ATE(jax) 0.149 vs ATE(oracle) 0.148 (unaligned).  Remaining diffs are
-f32-vs-f64 accumulation and bin tie-breaks, not semantic gaps.
+f32-vs-f64 accumulation and bin tie-breaks, not semantic gaps.  Extended
+check at 48 frames (same scene family, not in CI for runtime): max diff
+0.209 m growing smoothly with horizon, ATE 0.334 (jax) vs 0.338 (oracle) —
+drift RATE matches, i.e. the implementations share the same error budget.
 """
 
 import numpy as np
