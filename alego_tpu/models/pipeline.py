@@ -110,6 +110,7 @@ class SlamPipeline:
 
     def __init__(self, cfg: PipelineConfig, dtype=jnp.float32):
         self.cfg = cfg
+        self._dtype = dtype
         self._step = jax.jit(lambda st, p, m, t: slam_step(st, p, m, t, cfg))
         self._imu_step = jax.jit(deskew.integrate_imu)
         self.state = init_state(cfg, dtype)
@@ -131,6 +132,14 @@ class SlamPipeline:
                 "keyframes rejected; raise cfg.max_keyframes for longer "
                 "sequences", RuntimeWarning)
             self._overflow_warned = True
+
+    def reset(self):
+        """Fresh SLAM state, keeping the compiled step/scan programs."""
+        self.state = init_state(self.cfg, self._dtype)
+        self.poses = []
+        self.odom_poses = []
+        self._frame = 0
+        self._overflow_warned = False
 
     def add_imu(self, t: float, rpy, lin_acc):
         """Feed one IMU sample (the /imu/data handler, LO.cpp:840-881)."""

@@ -145,6 +145,12 @@ def label_components(img: RangeImage, cfg: PipelineConfig):
         changed = jnp.any(new != lab)
         return new, changed
 
+    # Negative result (round 2): pointer jumping (label <- min(label,
+    # label[label]), 2 hops/round) to cut the ~23 H+V rounds was measured
+    # SLOWER on v5e — each hop is a 64k random int32 gather, and CCL total
+    # went ~1.5 ms -> 3.5 ms.  Random gathers lose to extra gather-free
+    # rounds here, as everywhere else in this codebase.
+
     labels, _ = jax.lax.while_loop(lambda s: s[1], body,
                                    (init, jnp.bool_(True)))
 

@@ -92,10 +92,12 @@ def main(argv=None):
     est = pipe.run_scanned(pts, mask)
     _ = np.asarray(est[-1])
     dt = time.time() - t0
-    # steady-state fps from a second pass
-    pipe2 = SlamPipeline(c4)
+    # steady-state fps: re-run the SAME pipeline's compiled program on a
+    # fresh state (a second SlamPipeline instance would re-trace its own jit
+    # closure and time compilation, not the kernel — that read 0.9 fps)
+    pipe.reset()
     t0 = time.time()
-    est2 = pipe2.run_scanned(pts, mask)
+    est2 = pipe.run_scanned(pts, mask)
     _ = np.asarray(est2[-1])
     dt2 = time.time() - t0
     report["full_loop_closure"] = {
