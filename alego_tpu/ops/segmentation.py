@@ -121,12 +121,22 @@ def label_components(img: RangeImage, cfg: PipelineConfig):
     segmentable = img.valid & ~img.ground
 
     conn_right, conn_up = _neighbor_connectivity(img.ranges, segmentable, cfg)
+
+    big = jnp.int32(R * H)
+
+    if jax.default_backend() == "tpu":
+        # fused Pallas fixpoint: same algorithm resident in VMEM — the XLA
+        # while_loop pays ~80 us/round of carry/dispatch overhead for ~23
+        # rounds (benchmarks/stage1_breakdown.py); the kernel pays VPU work
+        # only.  Identical labels (fixpoint is schedule-invariant).
+        from .pallas_ccl import ccl_fixpoint_pallas
+        labels = ccl_fixpoint_pallas(conn_right, conn_up)
+        return _component_stats(labels, segmentable, cfg, R, H, big)
+
     masks = _reach_masks(conn_right)
 
     flat = jnp.arange(R * H, dtype=jnp.int32).reshape(R, H)
     init = flat
-
-    big = jnp.int32(R * H)
 
     def vertical_fixpoint(lab):
         # complete vertical chain collapse: 16-row unrolled down+up sweeps
@@ -153,8 +163,11 @@ def label_components(img: RangeImage, cfg: PipelineConfig):
 
     labels, _ = jax.lax.while_loop(lambda s: s[1], body,
                                    (init, jnp.bool_(True)))
+    return _component_stats(labels, segmentable, cfg, R, H, big)
 
-    # --- component stats ---
+
+def _component_stats(labels, segmentable, cfg: PipelineConfig, R, H, big):
+    """Segment validity (IP.cpp:378-397) from fixpoint labels."""
     flat_labels = jnp.where(segmentable, labels, big).reshape(-1)
     ones = segmentable.reshape(-1).astype(jnp.int32)
     sizes = jnp.zeros(R * H + 1, jnp.int32).at[flat_labels].add(ones)

@@ -94,3 +94,33 @@ def test_full_stage1_on_rendered_scan():
     v = np.asarray(seg.valid)
     r = np.asarray(seg.ranges)[v]
     assert np.isfinite(r).all() and (r >= cfg.min_range).all()
+
+
+def test_pallas_ccl_matches_xla_fixpoint():
+    """The fused VMEM CCL kernel (interpret mode) produces the identical
+    fixpoint as the XLA while_loop path, including seam-crossing runs."""
+    from alego_tpu.ops.pallas_ccl import ccl_fixpoint_pallas
+
+    cfg = tiny_config(horizon_scan=64, ring_width=128, max_raw_points=2048)
+    rng = np.random.default_rng(7)
+    R, H = cfg.n_scan, 64
+    ranges = np.full((R, H), INVALID_RANGE)
+    ranges[2:9, 5:25] = 10.0 + rng.normal(0, 0.01, (7, 20))
+    ranges[10:14, 40:60] = 22.0 + rng.normal(0, 0.01, (4, 20))
+    ranges[4:8, 60:] = 15.0     # seam-crossing band
+    ranges[4:8, :6] = 15.0
+    for _ in range(30):
+        i, j = rng.integers(0, R), rng.integers(0, H)
+        ranges[i, j] = rng.uniform(5, 40)
+
+    img = _img_from_ranges(ranges)
+    segm = np.asarray(img.valid & ~img.ground)
+    conn_right, conn_up = segmentation._neighbor_connectivity(
+        img.ranges, jnp.asarray(segm), cfg)
+
+    # XLA fixpoint via the public entry (CPU backend dispatches to it)
+    labels_xla, _, _ = segmentation.label_components(img, cfg)
+    labels_pl = ccl_fixpoint_pallas(conn_right, conn_up, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(labels_xla)[segm],
+                                  np.asarray(labels_pl)[segm])
