@@ -214,20 +214,25 @@ def compact(img: RangeImage, seg_ok: jnp.ndarray, outlier_px: jnp.ndarray,
         (cols % cfg.ground_subsample != 0) & (cols > 4) & (cols < H - 5))
     keep = seg_ok | ground_keep
 
-    # stable per-row compaction: payloads ride the sort (gather-free)
+    # stable per-row compaction: payloads ride the sort (gather-free).
+    # col/ground/keep share one packed-int operand — sort cost scales with
+    # operand count, and these three never need more than 15 bits together.
     key = jnp.where(keep, 0, 1).astype(jnp.int32)
     f32 = img.points.dtype
+    packed = (cols + jnp.where(img.ground, 1 << 13, 0)
+              + jnp.where(keep, 1 << 14, 0))
     sorted_ops = jax.lax.sort(
         (key, img.points[..., 0], img.points[..., 1], img.points[..., 2],
-         img.ranges, cols.astype(f32), img.ground.astype(f32),
-         keep.astype(f32)),
+         img.ranges, packed),
         dimension=1, num_keys=1, is_stable=True)
     if H < W:   # ring wider than image (tiny test geometries): pad
         sorted_ops = tuple(
             jnp.concatenate([a, jnp.zeros((R, W - H), a.dtype)], axis=1)
             for a in sorted_ops)
-    _, xs, ys, zs, rngs, colss, grds, keeps = (a[:, :W] for a in sorted_ops)
-    valid = keeps > 0
+    _, xs, ys, zs, rngs, packs = (a[:, :W] for a in sorted_ops)
+    valid = (packs & (1 << 14)) > 0
+    colss = packs & ((1 << 13) - 1)
+    grds = (packs & (1 << 13)) > 0
     counts = keep.sum(axis=1).astype(jnp.int32)
 
     pts = jnp.where(valid[..., None], jnp.stack([xs, ys, zs], -1), 0.0)
@@ -235,12 +240,17 @@ def compact(img: RangeImage, seg_ok: jnp.ndarray, outlier_px: jnp.ndarray,
     col_out = jnp.where(valid, colss, 0).astype(jnp.int32)
     grd = valid & (grds > 0)
 
-    # outliers live strictly above ground_scan_id (IP.cpp:265): sort only
-    # those rings (4x less data through the compaction sort)
+    # outliers live strictly above ground_scan_id (IP.cpp:265) and only at
+    # every outlier_subsample'th column — both static, so slice BEFORE the
+    # compaction sort (4x fewer rings x subsample-factor fewer columns:
+    # 64000 -> 4800 elements at the full geometry)
     g1 = cfg.ground_scan_id + 1
-    out_keep = (outlier_px[g1:] & (cols[g1:] % cfg.outlier_subsample == 0)
-                ).reshape(-1)
-    fp = img.points[g1:].reshape(-1, 3)
+    out_keep = outlier_px[g1:, ::cfg.outlier_subsample].reshape(-1)
+    fp = img.points[g1:, ::cfg.outlier_subsample].reshape(-1, 3)
+    if out_keep.shape[0] < cfg.max_outlier:   # tiny test geometries: pad
+        deficit = cfg.max_outlier - out_keep.shape[0]
+        out_keep = jnp.concatenate([out_keep, jnp.zeros(deficit, bool)])
+        fp = jnp.concatenate([fp, jnp.zeros((deficit, 3), fp.dtype)])
     o_ops = jax.lax.sort(
         (jnp.where(out_keep, 0, 1).astype(jnp.int32), fp[:, 0], fp[:, 1],
          fp[:, 2], out_keep.astype(f32)), num_keys=1, is_stable=True)

@@ -63,3 +63,39 @@ def test_knn_pallas_matches_xla():
     assert (np.diff(dp, axis=1) >= -1e-5).all()
     # index agreement modulo exact ties
     assert (np.asarray(i_p)[qm] == np.asarray(i_x)[qm]).mean() > 0.999
+
+
+@pytest.mark.parametrize("kernel", ["nn1", "knn"])
+def test_pallas_occupancy_skipping_exact(kernel):
+    """Tile skipping past the last valid query/reference (the scalar-prefetch
+    occupancy optimisation) must not change results: front-compacted masks at
+    ~15% occupancy, PLUS mid-array mask holes (which skipping must never
+    remove — only the BIG penalty handles those), against the XLA oracle."""
+    from alego_tpu.ops.pallas_nn import knn_pallas
+    from alego_tpu.ops.knn import knn
+
+    rng = np.random.default_rng(7)
+    Q, N = 512, 2048
+    q = rng.uniform(-100, 100, (Q, 3)).astype(np.float32)
+    r = rng.uniform(-100, 100, (N, 3)).astype(np.float32)
+    # front-compacted validity with interior holes; many dead tail tiles
+    qm = np.zeros(Q, bool)
+    qm[:80] = True
+    qm[17] = qm[63] = False
+    rm = np.zeros(N, bool)
+    rm[:300] = True
+    rm[50:60] = False
+    args = (jnp.asarray(q), jnp.asarray(qm), jnp.asarray(r), jnp.asarray(rm))
+
+    if kernel == "nn1":
+        d_p, i_p = nn1_pallas(*args, tq=128, tr=512, interpret=INTERPRET)
+        d_x, i_x = knn(*args, 1, chunk=512)
+        d_x, i_x = d_x[:, 0], i_x[:, 0]
+    else:
+        d_p, i_p = knn_pallas(*args, k=5, tq=128, tr=512, interpret=INTERPRET)
+        d_x, i_x = knn(*args, 5, chunk=512)
+    np.testing.assert_allclose(np.asarray(d_p)[qm], np.asarray(d_x)[qm],
+                               rtol=1e-4, atol=1e-3)
+    assert (np.asarray(i_p)[qm] == np.asarray(i_x)[qm]).mean() > 0.999
+    # invalid queries still report BIG
+    assert float(np.min(np.asarray(d_p)[~qm])) > 1e29
