@@ -135,7 +135,12 @@ def nn1_pallas(query: jnp.ndarray, qmask: jnp.ndarray, ref: jnp.ndarray,
                          lambda qi, ri, s: (0, _clamp_tile(qi, s[0], tq)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tr),
-                         lambda qi, ri, s: (0, _clamp_tile(ri, s[1], tr)),
+                         # dead query rows (qi*tq >= live count) collapse the
+                         # ref tile to block 0 so their DMAs are elided
+                         # (same-index revisit) instead of re-streaming every
+                         # live ref tile per dead row
+                         lambda qi, ri, s: (0, _clamp_tile(
+                             ri, jnp.where(qi * tq < s[0], s[1], 1), tr)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -250,7 +255,12 @@ def knn_pallas(query: jnp.ndarray, qmask: jnp.ndarray, ref: jnp.ndarray,
                          lambda qi, ri, s: (0, _clamp_tile(qi, s[0], tq)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tr),
-                         lambda qi, ri, s: (0, _clamp_tile(ri, s[1], tr)),
+                         # dead query rows (qi*tq >= live count) collapse the
+                         # ref tile to block 0 so their DMAs are elided
+                         # (same-index revisit) instead of re-streaming every
+                         # live ref tile per dead row
+                         lambda qi, ri, s: (0, _clamp_tile(
+                             ri, jnp.where(qi * tq < s[0], s[1], 1), tr)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

@@ -217,6 +217,9 @@ def compact(img: RangeImage, seg_ok: jnp.ndarray, outlier_px: jnp.ndarray,
     # stable per-row compaction: payloads ride the sort (gather-free).
     # col/ground/keep share one packed-int operand — sort cost scales with
     # operand count, and these three never need more than 15 bits together.
+    assert H < (1 << 13), (
+        f"packed col field overflow: horizon_scan={H} >= 8192 would corrupt "
+        "the ground/valid flag bits in the compaction sort operand")
     key = jnp.where(keep, 0, 1).astype(jnp.int32)
     f32 = img.points.dtype
     packed = (cols + jnp.where(img.ground, 1 << 13, 0)
@@ -247,7 +250,10 @@ def compact(img: RangeImage, seg_ok: jnp.ndarray, outlier_px: jnp.ndarray,
     g1 = cfg.ground_scan_id + 1
     out_keep = outlier_px[g1:, ::cfg.outlier_subsample].reshape(-1)
     fp = img.points[g1:, ::cfg.outlier_subsample].reshape(-1, 3)
-    if out_keep.shape[0] < cfg.max_outlier:   # tiny test geometries: pad
+    # pad whenever the subsampled pool is smaller than max_outlier — at the
+    # default geometry too (5 rings x ceil(4000/5) = 4000 < 4096), not just
+    # tiny test configs
+    if out_keep.shape[0] < cfg.max_outlier:
         deficit = cfg.max_outlier - out_keep.shape[0]
         out_keep = jnp.concatenate([out_keep, jnp.zeros(deficit, bool)])
         fp = jnp.concatenate([fp, jnp.zeros((deficit, 3), fp.dtype)])

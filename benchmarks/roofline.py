@@ -81,7 +81,13 @@ def main():
         tflops = flops / sec / 1e12
         mem_frac = gbps / HBM_GBPS
         mxu_frac = tflops / MXU_F32_TFLOPS
-        bound = "memory" if mem_frac >= mxu_frac else "compute"
+        # when BOTH peaks are nearly idle the stage is dominated by kernel
+        # dispatch / serial latency, not by either roofline wall (ADVICE r2:
+        # labelling such rows "compute" misclassifies them downstream)
+        if max(mem_frac, mxu_frac) < 0.02:
+            bound = "latency"
+        else:
+            bound = "memory" if mem_frac >= mxu_frac else "compute"
         rows.append({
             "stage": name, "ms": round(sec * 1e3, 3),
             "GB_per_s": round(gbps, 1), "pct_HBM_peak": round(100 * mem_frac, 1),

@@ -1,0 +1,102 @@
+"""Per-frame divergence diagnostics for one render seed of the bench circuit.
+
+VERDICT r2 #2: seed tail [0.227, 0.575, 2.694] — the worst seed is 12x the
+headline *with a loop accepted*.  This harness replays one seed frame by
+frame through the host-step path and records, per frame: map-frame error,
+odom-frame error, keyframe count, loop attempts/accepts, and ICP fitness —
+enough to tell a gradual odometry/mapping drift from a bad accepted loop.
+
+Usage:  python benchmarks/seed_diag.py [seed] [--no-loop]
+Writes benchmarks/seed_diag_s{seed}.json
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(REPO, ".jax_cache"))
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from alego_tpu.config import PipelineConfig
+    from alego_tpu.models import pipeline
+    from alego_tpu.utils import synthetic
+
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    no_loop = "--no-loop" in sys.argv
+    n_frames = int(os.environ.get("BENCH_FRAMES", "192"))
+
+    cfg = PipelineConfig()
+    if no_loop:
+        cfg = cfg.replace(loop_closure_enabled=False)
+
+    cache = os.path.join(REPO, "benchmarks",
+                         f"_seq_cache_v2_{n_frames}_{cfg.horizon_scan}"
+                         + ("" if seed == 0 else f"_s{seed}") + ".npz")
+    poses = synthetic.loop_trajectory(n_frames, radius=30.0, speed=1.6,
+                                      closed=True)
+    if os.path.exists(cache):
+        d = np.load(cache)
+        pts, mask = d["pts"], d["mask"]
+    else:
+        world = synthetic.make_world(seed=100, clear_path=poses[:, :2, 3])
+        pts, mask = synthetic.render_sequence(world, poses, cfg, noise=0.01,
+                                              seed=seed)
+        np.savez(cache, pts=pts, mask=mask)
+
+    pipe = pipeline.SlamPipeline(cfg)
+    rows = []
+    t0 = time.time()
+    prev_loops = 0
+    for k in range(n_frames):
+        est = pipe.process(pts[k], mask[k])
+        ms = pipe.state.mapping
+        err_map = float(np.linalg.norm(est[:3, 3] - poses[k][:3, 3]))
+        odo = np.asarray(pipe.state.T_odom2laser)
+        err_odo = float(np.linalg.norm(odo[:3, 3] - poses[k][:3, 3]))
+        loops = int(ms.graph.loop_count)
+        row = dict(frame=k, err_map=round(err_map, 4), err_odo=round(err_odo, 4),
+                   kf=int(ms.graph.count), loops=loops,
+                   attempts=int(ms.loop_attempts),
+                   best_fitness=round(float(ms.loop_best_fitness), 4))
+        if loops != prev_loops:
+            row["loop_event"] = True
+            prev_loops = loops
+        rows.append(row)
+        if k % 32 == 0:
+            print(f"frame {k}: err_map={err_map:.3f} err_odo={err_odo:.3f} "
+                  f"kf={row['kf']} loops={loops}", flush=True)
+    print(f"replay took {time.time() - t0:.1f}s")
+
+    errs = np.array([r["err_map"] for r in rows])
+    ate = float(np.sqrt(np.mean(errs ** 2)))
+    print(f"seed {seed} ATE (unaligned): {ate:.3f} m  "
+          f"max err {errs.max():.3f} @ frame {int(errs.argmax())}")
+    # error deltas: a >0.5 m jump between consecutive frames is a discrete
+    # event (loop or mapping snap), not drift
+    jumps = np.abs(np.diff(errs))
+    big = np.argsort(jumps)[-5:][::-1]
+    print("largest frame-to-frame error jumps:",
+          [(int(i) + 1, round(float(jumps[i]), 3)) for i in big])
+
+    out = os.path.join(REPO, "benchmarks",
+                       f"seed_diag_s{seed}{'_noloop' if no_loop else ''}.json")
+    with open(out, "w") as f:
+        json.dump(dict(seed=seed, ate=ate, no_loop=no_loop, rows=rows), f)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
