@@ -288,6 +288,83 @@ def mapping_step(ms: MappingState, T_odom2laser: jnp.ndarray,
     return ms, T_new
 
 
+def compact_keyframes(ms: MappingState, cfg: PipelineConfig) -> MappingState:
+    """Keyframe decimation at capacity — the "keep mapping forever" policy.
+
+    The reference retains every keyframe unboundedly (LM.cpp:67-69,699-701);
+    with static capacity the round-2 policy (reject + count) froze mapping in
+    new territory once full.  This pass halves the OLD keyframe density
+    instead — drop every 2nd keyframe outside the recent window, echoing the
+    reference's own 1 m ``ds_keyposes_`` pose-thinning idea (LM.cpp:174) —
+    so new keyframes always find room and the tail keeps mapping.
+
+    Kept unconditionally: node 0 (the prior), the recent window
+    (``recent_keyframe_search_num`` — the loop-closure-mode local map), and
+    every endpoint of an accepted loop factor (so stored loop constraints
+    stay EXACT; only chain links are re-derived between surviving
+    neighbours from current estimates, which is exact whenever the chain is
+    internally consistent — always true between loop events).
+
+    Runs as its own jitted program invoked by the host driver
+    (SlamPipeline) when the graph approaches capacity; the per-frame
+    ``slam_step``/``scan_sequence`` programs are unchanged.
+    """
+    g = ms.graph
+    M = cfg.max_keyframes
+    dtype = g.poses.dtype
+    idx = jnp.arange(M, dtype=jnp.int32)
+    count = g.count
+    active = idx < count
+
+    recent_start = count - cfg.recent_keyframe_search_num
+    keep = active & ((idx >= recent_start) | (idx % 2 == 0))
+    # pin loop-factor endpoints (constraints stay exact, no rel rewrite)
+    l_act = jnp.arange(g.loop_w.shape[0]) < g.loop_count
+    keep = keep.at[g.loop_i].max(l_act)
+    keep = keep.at[g.loop_j].max(l_act)
+    keep = keep & active
+
+    new_count = jnp.sum(keep).astype(jnp.int32)
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1        # new index of kept
+    # stable compaction permutation: kept rows ascending, dropped after
+    perm = jnp.argsort(jnp.where(keep, idx, M + idx))
+    row_ok = idx < new_count
+
+    poses = jnp.where(row_ok[:, None, None], g.poses[perm],
+                      jnp.eye(4, dtype=dtype))
+    # re-derive chain rels between surviving neighbours (current estimates)
+    prev = jnp.where(row_ok[:, None, None],
+                     poses[jnp.maximum(idx - 1, 0)], jnp.eye(4, dtype=dtype))
+    rels = jax.vmap(lambda a, b: se3.inv_mat(a) @ b)(prev, poses)
+    chain_rel = jnp.where((idx > 0)[:, None, None], rels, poses)
+
+    def gath(a, ok_like=None):
+        out = a[perm]
+        mask = row_ok.reshape((M,) + (1,) * (a.ndim - 1))
+        return jnp.where(mask, out, jnp.zeros_like(out))
+
+    graph = g._replace(
+        poses=poses, chain_rel=chain_rel,
+        loop_i=jnp.where(l_act, rank[g.loop_i], g.loop_i),
+        loop_j=jnp.where(l_act, rank[g.loop_j], g.loop_j),
+        count=new_count,
+    )
+    return ms._replace(
+        graph=graph,
+        kf_times=gath(ms.kf_times),
+        kf_corner=gath(ms.kf_corner),
+        kf_corner_valid=gath(ms.kf_corner_valid),
+        kf_surf=gath(ms.kf_surf),
+        kf_surf_valid=gath(ms.kf_surf_valid),
+        kf_outlier=gath(ms.kf_outlier),
+        kf_outlier_valid=gath(ms.kf_outlier_valid),
+        last_loop_kf=jnp.where(ms.last_loop_kf >= 0,
+                               rank[jnp.maximum(ms.last_loop_kf, 0)],
+                               ms.last_loop_kf),
+        map_dirty=jnp.bool_(True),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Loop closure (LM.cpp:779-975)
 # ---------------------------------------------------------------------------

@@ -113,25 +113,40 @@ class SlamPipeline:
         self._dtype = dtype
         self._step = jax.jit(lambda st, p, m, t: slam_step(st, p, m, t, cfg))
         self._imu_step = jax.jit(deskew.integrate_imu)
+        self._compact = jax.jit(lambda ms: lm.compact_keyframes(ms, cfg))
         self.state = init_state(cfg, dtype)
         self.poses = []
         self.odom_poses = []
         self._frame = 0
         self._overflow_warned = False
+        self.compactions = 0
 
     def _check_overflow(self):
         """Surface the explicit keyframe-capacity policy (pose_graph
-        docstring): dropped keyframes are counted, never silent."""
+        docstring): dropped keyframes are counted, never silent.  With
+        :meth:`_maybe_compact` running on the ``process`` path this should
+        never fire; it still guards the batch (`run_scanned`) path, where a
+        single device call can cross capacity mid-scan."""
         if self._overflow_warned:
             return
         ov = int(self.state.mapping.graph.overflow)
         if ov:
             import warnings
             warnings.warn(
-                f"pose-graph at capacity ({self.cfg.max_keyframes}): {ov} "
-                "keyframes rejected; raise cfg.max_keyframes for longer "
-                "sequences", RuntimeWarning)
+                f"pose-graph hit capacity ({self.cfg.max_keyframes}) inside "
+                f"a batched scan: {ov} keyframes rejected before host-side "
+                "compaction could run; use shorter run_scanned chunks or "
+                "raise cfg.max_keyframes", RuntimeWarning)
             self._overflow_warned = True
+
+    def _maybe_compact(self, margin: int = 16):
+        """Keep-mapping-forever policy (LM.cpp:67-69,699-701 semantics):
+        when the graph nears capacity, decimate old keyframes
+        (lm.compact_keyframes) so new territory keeps mapping."""
+        if int(self.state.mapping.graph.count) >= self.cfg.max_keyframes - margin:
+            self.state = self.state._replace(
+                mapping=self._compact(self.state.mapping))
+            self.compactions += 1
 
     def reset(self):
         """Fresh SLAM state, keeping the compiled step/scan programs."""
@@ -140,6 +155,7 @@ class SlamPipeline:
         self.odom_poses = []
         self._frame = 0
         self._overflow_warned = False
+        self.compactions = 0
 
     def add_imu(self, t: float, rpy, lin_acc):
         """Feed one IMU sample (the /imu/data handler, LO.cpp:840-881)."""
@@ -170,6 +186,8 @@ class SlamPipeline:
         pose_np = np.asarray(pose)
         self.poses.append(pose_np)
         self.odom_poses.append(np.asarray(self.state.T_odom2laser))
+        if self._frame % 16 == 0:
+            self._maybe_compact()
         if self._frame % 128 == 0:
             self._check_overflow()
         return pose_np

@@ -70,7 +70,13 @@ def main():
         row = dict(frame=k, err_map=round(err_map, 4), err_odo=round(err_odo, 4),
                    kf=int(ms.graph.count), loops=loops,
                    attempts=int(ms.loop_attempts),
-                   best_fitness=round(float(ms.loop_best_fitness), 4))
+                   best_fitness=round(float(ms.loop_best_fitness), 4),
+                   est=[round(float(v), 4) for v in est[:3, 3]],
+                   odo=[round(float(v), 4) for v in odo[:3, 3]],
+                   gt=[round(float(v), 4) for v in poses[k][:3, 3]],
+                   yaw_est=round(float(np.arctan2(est[1, 0], est[0, 0])), 5),
+                   yaw_gt=round(float(np.arctan2(poses[k][1, 0],
+                                                 poses[k][0, 0])), 5))
         if loops != prev_loops:
             row["loop_event"] = True
             prev_loops = loops
