@@ -49,6 +49,16 @@ def main(argv=None):
                          "'nodelet' (laserMapping.cpp drift: loop radius 20, "
                          "fitness 0.4, history leaf 1.0)")
     ap.add_argument("--no-loop-closure", action="store_true")
+    ap.add_argument("--loop-time-gap", type=float, default=None,
+                    help="min age (s) of a loop candidate (LM.cpp:934; "
+                         "default 30; short synthetic circuits need less)")
+    ap.add_argument("--loop-fitness", type=float, default=None,
+                    help="ICP acceptance fitness gate (LM.cpp:212)")
+    ap.add_argument("--loop-search-num", type=int, default=None,
+                    help="+-K keyframes in the loop history cloud (LM.cpp:211)")
+    ap.add_argument("--radius", type=float, default=None,
+                    help="synthetic loop radius in metres (default scales "
+                         "with frame count)")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--save-map", action="store_true", help="export PCD map")
     ap.add_argument("--checkpoint", help="resume from a checkpoint .npz")
@@ -82,6 +92,12 @@ def main(argv=None):
         cfg = PipelineConfig()
     if args.no_loop_closure:
         cfg = cfg.replace(loop_closure_enabled=False)
+    if args.loop_time_gap is not None:
+        cfg = cfg.replace(loop_time_gap=args.loop_time_gap)
+    if args.loop_fitness is not None:
+        cfg = cfg.replace(history_fitness_score=args.loop_fitness)
+    if args.loop_search_num is not None:
+        cfg = cfg.replace(history_search_num=args.loop_search_num)
 
     pipe = SlamPipeline(cfg)
     if args.checkpoint:
@@ -153,7 +169,7 @@ def main(argv=None):
 
         B = args.mesh
         n = args.synthetic
-        radius = max(4.0, n * 0.25 / (2 * 3.14159))
+        radius = args.radius or max(4.0, n * 0.25 / (2 * 3.14159))
         gt = synthetic.loop_trajectory(n, radius=radius, closed=True)
         seqs, masks = [], []
         for b in range(B):
@@ -170,9 +186,12 @@ def main(argv=None):
         wall = time.time() - t0
         print(f"{B} sequences x {n} frames in {wall:.1f}s "
               f"({B * n / max(wall, 1e-9):.1f} frames/s aggregate)")
+        lane_kf = np.asarray(spipe.state.mapping.graph.count)
+        lane_loops = np.asarray(spipe.state.mapping.graph.loop_count)
         for b in range(B):
             ate = ate_rmse(traj[:, b, :3, 3], gt[:, :3, 3], align=False)
-            print(f"  sequence {b}: ATE {ate:.3f} m")
+            print(f"  sequence {b}: ATE {ate:.3f} m, "
+                  f"keyframes {int(lane_kf[b])}, loops {int(lane_loops[b])}")
         os.makedirs(args.output, exist_ok=True)
         for b in range(B):
             with open(os.path.join(args.output,
@@ -188,7 +207,7 @@ def main(argv=None):
         from .utils import synthetic
 
         # ~0.25 m/frame (1.25 m/s at 5 Hz); loop circumference scales with n
-        radius = max(4.0, args.synthetic * 0.25 / (2 * 3.14159))
+        radius = args.radius or max(4.0, args.synthetic * 0.25 / (2 * 3.14159))
         gt = synthetic.loop_trajectory(args.synthetic, radius=radius, closed=True)
         world = synthetic.make_world(seed=7, clear_path=gt[:, :2, 3])
         pts_seq, mask_seq = synthetic.render_sequence(world, gt, cfg, noise=0.01)

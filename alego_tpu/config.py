@@ -76,6 +76,19 @@ class PipelineConfig:
     odom_corner_iters: int = 5      # LO.cpp:564
     min_correspondences: int = 10   # LO.cpp:481,555
     huber_delta: float = 0.1        # HuberLoss(0.1) (LO.cpp:402, LM.cpp:508)
+    odom_eig_floor: float = 0.0     # LOAM isDegenerate floor for the odometry
+                                    # solves (0 = off); see odom_prior_weight
+    odom_prior_weight: float = 0.0  # Tikhonov prior toward the constant-
+                                    # velocity warm start in the odometry
+                                    # solves.  Measured (benchmarks/
+                                    # seed2_spectrum.py): on weak-geometry
+                                    # stretches the along-track eigenvalue of
+                                    # the corner (x,y,yaw) Hessian dips to
+                                    # ~4-15 while yaw sits at ~1e4 — the weak
+                                    # direction then follows per-frame noise
+                                    # as a velocity random walk (the 2.69 m
+                                    # seed-2 tail).  A prior ~ the weak-dip
+                                    # scale regularises exactly those dims.
 
     # --- scan-to-map (LM.cpp) ---
     map_frame_decimation: int = 2   # every 2nd frame (LM.cpp:244-245)

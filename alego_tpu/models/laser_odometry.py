@@ -115,7 +115,9 @@ def odometry_step(st: OdometryState, fc: FeatureClouds, cfg: PipelineConfig):
         return r, J, s_w
 
     params_a = solve_gn(surf_res, st.params, cfg.odom_surf_iters, SURF_DIMS,
-                        cfg.huber_delta, min_count=cfg.min_correspondences)
+                        cfg.huber_delta, min_count=cfg.min_correspondences,
+                        eig_floor=cfg.odom_eig_floor,
+                        prior_weight=cfg.odom_prior_weight)
 
     # ---- step B: corner association (updated pose) + joint solve ----
     c_cp, c_pj, c_pl, c_w = _associate_corner(params_a, fc, st, cfg)
@@ -135,7 +137,9 @@ def odometry_step(st: OdometryState, fc: FeatureClouds, cfg: PipelineConfig):
         return r, J, w
 
     params_b = solve_gn(joint_res, params_a, cfg.odom_corner_iters, STEP_B_DIMS,
-                        cfg.huber_delta, min_count=cfg.min_correspondences)
+                        cfg.huber_delta, min_count=cfg.min_correspondences,
+                        eig_floor=cfg.odom_eig_floor,
+                        prior_weight=cfg.odom_prior_weight)
     # with too few corners the reference skips the second ceres::Solve
     # entirely, leaving the step-A result (LO.cpp:556-574)
     params_b = jnp.where(enough_corners, params_b, params_a)

@@ -80,7 +80,8 @@ def solve_gn(residual_fn: Callable[[jnp.ndarray], tuple],
              params0: jnp.ndarray, iters: int, dim_mask: jnp.ndarray,
              huber_delta: float, damping: float = 1e-6,
              min_count: int = 0, param_tol: float = 1e-4,
-             eig_floor: float = 0.0) -> jnp.ndarray:
+             eig_floor: float = 0.0,
+             prior_weight: float = 0.0) -> jnp.ndarray:
     """GN with ``iters`` max iterations and Ceres-style early stopping:
     the loop exits once the update falls below ``param_tol`` (Ceres stops on
     its tolerances well before max_num_iterations in the common case —
@@ -93,14 +94,44 @@ def solve_gn(residual_fn: Callable[[jnp.ndarray], tuple],
     evaluates ``isDegenerate`` at iterCount == 0 only.  The projector is
     built inside the FIRST loop iteration from that iteration's own
     linearisation (no extra residual/Jacobian evaluation).
+
+    ``prior_weight > 0`` adds a Tikhonov prior anchoring the solve at the
+    warm start ``params0``: ``H += wI, g += w (p - params0)`` on the masked
+    dims.  For scan-to-scan odometry ``params0`` is the previous frame's
+    delta (constant-velocity warm start), so this is a proper MAP prior on
+    weak directions: eigenvalues >> w are unaffected, directions with
+    information ~< w stay near constant velocity instead of following
+    per-frame noise (the velocity-random-walk failure measured in
+    benchmarks/seed2_spectrum.py, where the along-track eigenvalue dips to
+    ~4-15 while yaw sits at ~1e4).
     """
     use_proj = eig_floor > 0.0
     I6 = jnp.eye(6, dtype=params0.dtype)
     m = dim_mask.astype(params0.dtype)
 
+    def res_with_prior(p):
+        r, J, w = residual_fn(p)
+        if prior_weight > 0.0:
+            sw = jnp.sqrt(jnp.asarray(prior_weight, p.dtype))
+            r_p = sw * (p - params0)
+            # rows with |r| <= huber_delta get IRLS weight 1, and the gn_step
+            # weight slot is validity: feed the prior rows as 6 residuals of
+            # the identity sqrt-information block
+            J_p = sw * jnp.eye(6, dtype=p.dtype)
+            # keep prior rows outside the Huber reweighting by pre-dividing:
+            # huber_weight(r_p) < 1 would soften the prior exactly when it is
+            # needed (large deviation) — counteract by scaling weight so
+            # w * huber(r) == 1 for prior rows
+            hw = huber_weight(r_p, huber_delta)
+            w_p = 1.0 / jnp.maximum(hw, 1e-12)
+            r = jnp.concatenate([r, r_p])
+            J = jnp.concatenate([J, J_p])
+            w = jnp.concatenate([w, w_p])
+        return r, J, w
+
     def body(state):
         p, P, _, it = state
-        r, J, w = residual_fn(p)
+        r, J, w = res_with_prior(p)
         if use_proj:
             def make_P(_):
                 hw = w * huber_weight(r, huber_delta)
@@ -109,7 +140,11 @@ def solve_gn(residual_fn: Callable[[jnp.ndarray], tuple],
                 return degeneracy_projector(H0, eig_floor)
 
             P = jax.lax.cond(it == 0, make_P, lambda _: P, None)
-        p_new = gn_step(p, r, J, w, dim_mask, huber_delta, damping, min_count)
+        # the 6 prior rows always carry weight > 0: exclude them from the
+        # min_count correspondence floor so the degenerate-solve gate keeps
+        # its reference semantics (LO.cpp:481,555)
+        mc = min_count + (6 if prior_weight > 0.0 else 0)
+        p_new = gn_step(p, r, J, w, dim_mask, huber_delta, damping, mc)
         p_new = p + P @ (p_new - p)
         step = jnp.max(jnp.abs(p_new - p))
         return p_new, P, step, it + 1

