@@ -58,7 +58,14 @@ def slam_step(state: SlamState, points: jnp.ndarray, mask: jnp.ndarray,
                                state.imu, cfg,
                                orient_start=seg.orient_start,
                                orient_diff=seg.orient_diff)
-        seg = seg._replace(points=pts_ds)
+        # the outlier cloud must move with the segmented cloud: the surf map
+        # merges both (LM.cpp:385-387) — de-skewing only one smears every
+        # surface into two misaligned copies in the local map
+        out_ds = deskew.deskew(seg.outlier_points, seg.outlier_cols,
+                               seg.outlier_valid, time, state.imu, cfg,
+                               orient_start=seg.orient_start,
+                               orient_diff=seg.orient_diff)
+        seg = seg._replace(points=pts_ds, outlier_points=out_ds)
     fc = extract_features(seg, cfg)
 
     # stage 2: scan-to-scan odometry

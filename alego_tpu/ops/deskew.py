@@ -112,18 +112,18 @@ def deskew(points, cols, valid, scan_time, buf: ImuBuffer, cfg,
     shape = points.shape[:-1]
     pts = points.reshape(-1, 3)
     if orient_start is not None and orient_diff is not None:
-        two_pi = 2 * jnp.pi
-        theta = (cols.reshape(-1).astype(pts.dtype) + 0.5) \
-            * jnp.asarray(cfg.ang_res_x, pts.dtype)      # azimuth in [0, 2pi)
-        # wrap with a small negative margin: a start-column point whose
-        # bin centre sits just BEFORE orient_start must read as slightly
-        # negative time (clipped to 0, like the reference's relTime which
-        # may go slightly negative, LO.cpp:680-700) — a plain mod would
-        # alias it to ~2pi, a full-sweep timing error.  The margin trades
-        # that for misattributing only points in the final 0.05 rad (~0.8%)
-        # of the spin.
-        margin = jnp.asarray(0.05, pts.dtype)
-        rel = jnp.mod(theta - orient_start + margin, two_pi) - margin
+        # INTEGER column-relative firing order: the start column follows
+        # from orient_start (the first-arrived point's azimuth, IP.cpp:124),
+        # and mod(col - c0, H) is each point's exact firing rank for a
+        # continuous spin — no wrap heuristic.  (A previous angle-space
+        # margin hack misattributed the final ~0.05 rad of EVERY sweep to
+        # t ~ 0, a full-period timing error on those columns — measured as
+        # 2 m point displacement at 0.12 rad/sweep yaw.)
+        H = cfg.horizon_scan
+        res = jnp.asarray(cfg.ang_res_x, pts.dtype)
+        c0 = jnp.round(orient_start / res - 0.5).astype(jnp.int32)
+        rel_cols = jnp.mod(cols.reshape(-1) - c0, H).astype(pts.dtype)
+        rel = rel_cols * res
         rel_t = rel / jnp.maximum(orient_diff, 1e-3) * cfg.scan_period
         rel_t = jnp.clip(rel_t, 0.0, cfg.scan_period)
     else:

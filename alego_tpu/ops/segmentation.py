@@ -49,6 +49,11 @@ class SegmentedScan(NamedTuple):
     # defaulted to a uniform spin so tests can fabricate scans without it
     orient_start: jnp.ndarray = np.float32(0.0)
     orient_diff: jnp.ndarray = np.float32(2 * np.pi)
+    # outlier column indices, needed so de-skew can move the outlier cloud
+    # with the segmented cloud (the surf map merges BOTH, LM.cpp:385-387 —
+    # de-skewing only one smears every surface into two misaligned copies).
+    # Defaulted for fabricated test scans.
+    outlier_cols: jnp.ndarray = np.zeros(0, np.int32)  # [MO] int32
 
 
 def _neighbor_connectivity(ranges: jnp.ndarray, segmentable: jnp.ndarray,
@@ -250,6 +255,7 @@ def compact(img: RangeImage, seg_ok: jnp.ndarray, outlier_px: jnp.ndarray,
     g1 = cfg.ground_scan_id + 1
     out_keep = outlier_px[g1:, ::cfg.outlier_subsample].reshape(-1)
     fp = img.points[g1:, ::cfg.outlier_subsample].reshape(-1, 3)
+    o_col = cols[g1:, ::cfg.outlier_subsample].reshape(-1)
     # pad whenever the subsampled pool is smaller than max_outlier — at the
     # default geometry too (5 rings x ceil(4000/5) = 4000 < 4096), not just
     # tiny test configs
@@ -257,11 +263,13 @@ def compact(img: RangeImage, seg_ok: jnp.ndarray, outlier_px: jnp.ndarray,
         deficit = cfg.max_outlier - out_keep.shape[0]
         out_keep = jnp.concatenate([out_keep, jnp.zeros(deficit, bool)])
         fp = jnp.concatenate([fp, jnp.zeros((deficit, 3), fp.dtype)])
+        o_col = jnp.concatenate([o_col, jnp.zeros(deficit, jnp.int32)])
     o_ops = jax.lax.sort(
         (jnp.where(out_keep, 0, 1).astype(jnp.int32), fp[:, 0], fp[:, 1],
-         fp[:, 2], out_keep.astype(f32)), num_keys=1, is_stable=True)
+         fp[:, 2], out_keep.astype(f32), o_col), num_keys=1, is_stable=True)
     o_valid = (o_ops[4] > 0)[: cfg.max_outlier]
     o_pts = jnp.stack([o_ops[1], o_ops[2], o_ops[3]], -1)[: cfg.max_outlier]
+    o_cols_out = o_ops[5][: cfg.max_outlier]
 
     return SegmentedScan(
         points=jnp.where(valid[..., None], pts, 0.0),
@@ -274,6 +282,7 @@ def compact(img: RangeImage, seg_ok: jnp.ndarray, outlier_px: jnp.ndarray,
         outlier_valid=o_valid,
         orient_start=img.orient_start,
         orient_diff=img.orient_diff,
+        outlier_cols=jnp.where(o_valid, o_cols_out, 0),
     )
 
 

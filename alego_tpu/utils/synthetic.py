@@ -195,7 +195,88 @@ def render_scan(world: World, pose: np.ndarray, cfg: PipelineConfig,
     hit = np.isfinite(t) & (t < max_range) & (t > cfg.min_range)
     pts_sensor = dirs_s * np.where(hit, t, 0.0)[..., None]
     pts_sensor = np.where(hit[..., None], pts_sensor, np.nan)
-    return pts_sensor.reshape(-1, 3).astype(np.float32)
+    # FIRING order (column-major: all rings of col 0, then col 1, ...) — a
+    # real spinning sensor emits this order, and the projector derives the
+    # sweep orientation span from the first/last point in arrival order
+    # (IP.cpp:120-130); ring-major order fed it a bogus span
+    return pts_sensor.transpose(1, 0, 2).reshape(-1, 3).astype(np.float32)
+
+
+def _interp_pose(T0: np.ndarray, T1: np.ndarray, a: float) -> np.ndarray:
+    """Planar pose interpolation (translation lerp + yaw slerp)."""
+    y0 = np.arctan2(T0[1, 0], T0[0, 0])
+    y1 = np.arctan2(T1[1, 0], T1[0, 0])
+    dy = np.arctan2(np.sin(y1 - y0), np.cos(y1 - y0))
+    T = np.eye(4)
+    T[:3, :3] = _rpy_to_rot(np.array([0.0, 0.0, y0 + a * dy]))
+    T[:3, 3] = (1 - a) * T0[:3, 3] + a * T1[:3, 3]
+    return T
+
+
+def render_scan_skewed(world: World, pose0: np.ndarray, pose1: np.ndarray,
+                       cfg: PipelineConfig, noise: float = 0.0,
+                       rng: Optional[np.random.Generator] = None,
+                       groups: int = 32, max_range: float = 120.0) -> np.ndarray:
+    """Raycast one scan WITH intra-sweep motion (rolling-shutter skew).
+
+    A real spinning LiDAR fires each azimuth column at a different time while
+    the platform moves; the raw cloud mixes per-firing-time frames — the
+    distortion ``adjustDistortion`` (LO.cpp:636-805) exists to undo.  The
+    plain :func:`render_scan` renders from ONE pose and therefore can never
+    exercise de-skew.  Here the sweep [pose0 -> pose1] is split into
+    ``groups`` column blocks; block g's rays are cast from the interpolated
+    pose at its firing time, and the returned point is expressed in the
+    sensor frame AT FIRING TIME (``dir * range``), exactly as a driver
+    assembles raw returns.
+    """
+    dirs_s = ray_directions(cfg)                      # [R, H, 3]
+    H = cfg.horizon_scan
+    out = np.full((cfg.n_scan, H, 3), np.nan)
+    bounds = np.linspace(0, H, groups + 1).astype(int)
+    for g in range(groups):
+        c0, c1 = bounds[g], bounds[g + 1]
+        if c0 == c1:
+            continue
+        a = (0.5 * (c0 + c1)) / H
+        T = _interp_pose(pose0, pose1, a)
+        d = dirs_s[:, c0:c1]
+        dirs_w = d @ T[:3, :3].T
+        origin = T[:3, 3]
+        t = _ray_ground(origin, dirs_w, world.ground_z)
+        t = np.minimum(t, _ray_boxes(origin, dirs_w, world.boxes))
+        t = np.minimum(t, _ray_cylinders(origin, dirs_w, world.cylinders,
+                                         world.ground_z))
+        if noise > 0:
+            if rng is None:
+                rng = np.random.default_rng(0)
+            t = t + rng.normal(0, noise, t.shape)
+        hit = np.isfinite(t) & (t < max_range) & (t > cfg.min_range)
+        pts = d * np.where(hit, t, 0.0)[..., None]
+        out[:, c0:c1] = np.where(hit[..., None], pts, np.nan)
+    # firing order, as in render_scan
+    return out.transpose(1, 0, 2).reshape(-1, 3).astype(np.float32)
+
+
+def render_sequence_skewed(world: World, poses: np.ndarray,
+                           cfg: PipelineConfig, noise: float = 0.0,
+                           seed: int = 0, groups: int = 32):
+    """Render all frames with intra-sweep motion; frame k sweeps from
+    poses[k] to poses[k+1] (the last frame holds).  Returns (points, mask)
+    padded like :func:`render_sequence`."""
+    rng = np.random.default_rng(seed)
+    cap = cfg.max_raw_points
+    n = poses.shape[0]
+    out = np.zeros((n, cap, 3), np.float32)
+    msk = np.zeros((n, cap), bool)
+    for k in range(n):
+        p1 = poses[min(k + 1, n - 1)]
+        pts = render_scan_skewed(world, poses[k], p1, cfg, noise=noise,
+                                 rng=rng, groups=groups)
+        good = np.isfinite(pts).all(-1)
+        pts = pts[good][:cap]
+        out[k, : len(pts)] = pts
+        msk[k, : len(pts)] = True
+    return out, msk
 
 
 def render_sequence(world: World, poses: np.ndarray, cfg: PipelineConfig,
