@@ -78,6 +78,12 @@ class PipelineConfig:
     huber_delta: float = 0.1        # HuberLoss(0.1) (LO.cpp:402, LM.cpp:508)
     odom_eig_floor: float = 0.0     # LOAM isDegenerate floor for the odometry
                                     # solves (0 = off); see odom_prior_weight
+    odom_dense_corners: bool = False  # query ALL less-sharp corners (~1k) in
+                                    # the odometry corner step instead of the
+                                    # reference's 2-per-sector sharp set
+                                    # (LO.cpp:498) — a TPU-first deviation:
+                                    # batching is free, ~10x the constraints
+                                    # cut the weak-direction increment noise
     odom_prior_weight: float = 0.0  # Tikhonov prior toward the constant-
                                     # velocity warm start in the odometry
                                     # solves.  Measured (benchmarks/

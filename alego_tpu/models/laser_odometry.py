@@ -91,18 +91,26 @@ def _associate_surf(params, fc: FeatureClouds, st: OdometryState,
 def _associate_corner(params, fc: FeatureClouds, st: OdometryState,
                       cfg: PipelineConfig):
     """Corner correspondences (LO.cpp:498-552): nearest + best point on a
-    *different* nearby ring (the edge must span rings)."""
-    sel = se3.transform_points(params, fc.sharp_pts)
-    d1, i1 = nn1(sel, fc.sharp_valid, st.corner_pts, st.corner_valid,
+    *different* nearby ring (the edge must span rings).
+
+    With ``cfg.odom_dense_corners`` the query set is the full less-sharp
+    cloud rather than the reference's 2-per-sector sharp picks — ~10x the
+    constraints for the same batched kernel shapes (see config)."""
+    if cfg.odom_dense_corners:
+        q_pts, q_valid = fc.less_sharp_pts, fc.less_sharp_valid
+    else:
+        q_pts, q_valid = fc.sharp_pts, fc.sharp_valid
+    sel = se3.transform_points(params, q_pts)
+    d1, i1 = nn1(sel, q_valid, st.corner_pts, st.corner_valid,
                  chunk=st.corner_pts.shape[0])
-    ok1 = fc.sharp_valid & (d1 < cfg.nearest_feature_dist_sq)
+    ok1 = q_valid & (d1 < cfg.nearest_feature_dist_sq)
     cs = st.corner_ring[i1]
     ring = st.corner_ring[None, :]
     diff_ring = st.corner_valid[None, :] & (ring != cs[:, None]) & (
         jnp.abs(ring - cs[:, None]) <= cfg.ring_search_span)
     d2, i2 = masked_argmin_dist(sel, st.corner_pts, diff_ring)
     ok = ok1 & (d2 < cfg.nearest_feature_dist_sq)
-    return fc.sharp_pts, st.corner_pts[i1], st.corner_pts[i2], ok.astype(sel.dtype)
+    return q_pts, st.corner_pts[i1], st.corner_pts[i2], ok.astype(sel.dtype)
 
 
 def odometry_step(st: OdometryState, fc: FeatureClouds, cfg: PipelineConfig):

@@ -228,7 +228,8 @@ DEFAULT_LOOP_W_SCALE = 1.0
 
 def optimize(g: PoseGraph, chain_sigma, iters: int = 3,
              loop_w_scale: float = DEFAULT_LOOP_W_SCALE,
-             max_step: float = DEFAULT_MAX_STEP) -> PoseGraph:
+             max_step: float = DEFAULT_MAX_STEP,
+             f64: bool = True) -> PoseGraph:
     """Production GN: factored O(N) chain solve + low-rank loop fold-in.
 
     Identical linear system to :func:`optimize_dense` (at damping 0): the
@@ -242,12 +243,43 @@ def optimize(g: PoseGraph, chain_sigma, iters: int = 3,
 
     with ``Vs`` the sqrt-weighted loop Jacobian columns — one chain solve over
     1 + 6L right-hand sides plus a 6L x 6L pivoted core solve.
+
+    ``f64=True`` (default) assembles the GN system in f64 and recovers f64
+    solution accuracy by MIXED-PRECISION ITERATIVE REFINEMENT: the factored
+    solve runs in f32 (cheap, MXU-shaped), then one f64 residual
+    ``res = -b - (T + Vs Vs^T) delta`` — O(N) bidiagonal matvecs, no f64
+    scan — and an f32 re-solve of the correction.  Chain compliance
+    amplifies per-link rounding ~1e5x at N = 2048, where plain f32 left a
+    contraction-order-sensitive 0.09-0.39 m self-consistency wobble
+    (round-2 dryrun canary); a fully-f64 factored solve fixed it but
+    tripled compile time (441 s vs 140 s measured — the f64 associative
+    scan over the 1+6L rhs block dominates), while refinement gets the same
+    accuracy for two extra matvecs.  Cost is paid only on loop events.
     """
-    sigma = jnp.asarray(chain_sigma, g.poses.dtype)
 
     def gn_iter(g: PoseGraph) -> PoseGraph:
-        Ad, Jr, info, b, Vs = _gn_parts(g, sigma, loop_w_scale)
-        delta = _factored_delta(Ad, Jr, info, b, Vs)
+        dtype = g.poses.dtype
+        if f64:
+            with jax.enable_x64(True):
+                g64 = g._replace(
+                    poses=g.poses.astype(jnp.float64),
+                    chain_rel=g.chain_rel.astype(jnp.float64),
+                    loop_rel=g.loop_rel.astype(jnp.float64),
+                    loop_w=g.loop_w.astype(jnp.float64))
+                sigma = jnp.asarray(chain_sigma, jnp.float64)
+                Ad, Jr, info, b, Vs = _gn_parts(g64, sigma, loop_w_scale)
+                f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
+                delta = _factored_delta(f32(Ad), f32(Jr), f32(info),
+                                        f32(b), f32(Vs)).astype(jnp.float64)
+                res = -b - _apply_system(Ad, Jr, info, Vs, delta)
+                corr = _factored_delta(f32(Ad), f32(Jr), f32(info),
+                                       -f32(res), f32(Vs))
+                delta = delta + corr.astype(jnp.float64)
+            delta = delta.astype(dtype)
+        else:
+            sigma = jnp.asarray(chain_sigma, dtype)
+            Ad, Jr, info, b, Vs = _gn_parts(g, sigma, loop_w_scale)
+            delta = _factored_delta(Ad, Jr, info, b, Vs)
         # trust region: a global scale keeping every node's step <= max_step
         # (GTSAM's iSAM2 wraps GN in Dogleg for the same reason; a raw GN
         # step can diverge when loop factors are strongly inconsistent)
@@ -329,6 +361,25 @@ def _gn_parts(g: PoseGraph, sigma: jnp.ndarray, loop_w_scale: float):
     return Ad, Jr, info, b, Vs
 
 
+def _apply_system(Ad, Jr, info, Vs, d):
+    """(T + Vs Vs^T) d with T = (Dg B)^T Info (Dg B) applied in factored
+    form: two bidiagonal shifts + diagonal scales + the low-rank term —
+    O(N) small matmuls, runs in the dtype of its inputs (used for the f64
+    refinement residual)."""
+    # B d: (B d)_i = d_i - Ad_i d_{i-1}   (Ad[0] = 0 covers the prior row)
+    d_prev = jnp.concatenate([jnp.zeros_like(d[:1]), d[:-1]], 0)
+    Bd = d - jnp.einsum("nij,nj->ni", Ad, d_prev)
+    Jd = jnp.einsum("nij,nj->ni", Jr, Bd)
+    r1 = info * Jd
+    # Dg^T r1 then B^T y: (B^T y)_i = y_i - Ad_{i+1}^T y_{i+1}
+    y = jnp.einsum("nji,nj->ni", Jr, r1)
+    y_next = jnp.concatenate([y[1:], jnp.zeros_like(y[:1])], 0)
+    Ad_next = jnp.concatenate([Ad[1:], jnp.zeros_like(Ad[:1])], 0)
+    Td = y - jnp.einsum("nji,nj->ni", Ad_next, y_next)
+    Vtd = jnp.einsum("nik,ni->k", Vs, d)
+    return Td + jnp.einsum("nik,k->ni", Vs, Vtd)
+
+
 def _factored_delta(Ad, Jr, info, b, Vs):
     """delta = -(T + Vs Vs^T)^{-1} b via one batched chain solve + the
     matrix inversion lemma's 6L x 6L pivoted core solve."""
@@ -339,4 +390,9 @@ def _factored_delta(Ad, Jr, info, b, Vs):
     K = Vs.shape[-1]
     core = jnp.eye(K, dtype=Vs.dtype) + jnp.einsum("nik,nil->kl", Vs, Z)
     Vty = jnp.einsum("nik,ni->k", Vs, y)
-    return y - Z @ jnp.linalg.solve(core, Vty)
+    if Vs.dtype == jnp.float32:
+        cv = jnp.linalg.solve(core, Vty)
+    else:            # f64 LU doesn't lower on TPU: f32 LU + refinement
+        from ..ops.chain_solver import solve_small_refined
+        cv = solve_small_refined(core, Vty)
+    return y - Z @ cv

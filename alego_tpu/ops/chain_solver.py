@@ -69,6 +69,22 @@ def affine_scan(A: jnp.ndarray, b: jnp.ndarray, reverse: bool = False
     return affine_scan_carry(A, b, reverse=reverse)[1]
 
 
+def solve_small_refined(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Small dense solve in ANY float dtype on TPU.
+
+    XLA:TPU's LuDecomposition implements only F32/C64, so an f64
+    ``jnp.linalg.solve`` fails to lower.  Factor in f32 and recover the
+    input precision with one iterative-refinement step (classic
+    Wilkinson): for the near-identity / moderately-conditioned blocks this
+    serves (Jr ~ I, Woodbury cores), one step reaches ~full f64 accuracy.
+    """
+    A32 = A.astype(jnp.float32)
+    X0 = jnp.linalg.solve(A32, B.astype(jnp.float32)).astype(A.dtype)
+    R = B - A @ X0
+    corr = jnp.linalg.solve(A32, R.astype(jnp.float32)).astype(A.dtype)
+    return X0 + corr
+
+
 def chain_solve(Ad: jnp.ndarray, Jr: jnp.ndarray, info: jnp.ndarray,
                 rhs: jnp.ndarray) -> jnp.ndarray:
     """Solve (J^T diag(info) J) x = rhs for the block-bidiagonal chain J.
@@ -77,6 +93,10 @@ def chain_solve(Ad: jnp.ndarray, Jr: jnp.ndarray, info: jnp.ndarray,
     Jr   [N, 6, 6]: invertible per-row factor blocks (~ I).
     info [N, 6]:    per-row positive diagonal information.
     rhs  [N, 6, K].
+
+    Runs in the dtype of its inputs: pass f64 operands (under
+    ``jax.enable_x64``) for the precise path — the scans are f64-capable on
+    TPU, and the small dense solves go through :func:`solve_small_refined`.
     """
     AdT = jnp.swapaxes(Ad, -1, -2)
     JrT = jnp.swapaxes(Jr, -1, -2)
@@ -84,6 +104,10 @@ def chain_solve(Ad: jnp.ndarray, Jr: jnp.ndarray, info: jnp.ndarray,
     M = jnp.concatenate([AdT[1:], jnp.zeros_like(AdT[:1])], axis=0)
     y = affine_scan(M, rhs, reverse=True)
     # diagonal part: Dg^{-1} Info^{-1} Dg^{-T}
-    u = jnp.linalg.solve(Jr, jnp.linalg.solve(JrT, y) / info[..., None])
+    if Ad.dtype == jnp.float32:
+        u = jnp.linalg.solve(Jr, jnp.linalg.solve(JrT, y) / info[..., None])
+    else:
+        u = solve_small_refined(
+            Jr, solve_small_refined(JrT, y) / info[..., None])
     # x = B^{-1} u: x_i = u_i + Ad_i x_{i-1}
     return affine_scan(Ad, u, reverse=False)

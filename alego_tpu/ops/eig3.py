@@ -38,16 +38,25 @@ def solve_spd_3x3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     Cholesky without pivoting is backward-stable for SPD inputs; callers add
     a ridge and gate results (plane_ok), as the reference discards bad QR
     fits (LM.cpp:582-597).
+
+    Pivot clamps are RELATIVE to the running diagonal scale: with an
+    absolute 1e-30 clamp, f32 cancellation on ill-conditioned inputs
+    (cond >> 2^24 — e.g. plane fits on 5 near-collinear map points at
+    ~100 m coordinates) produced ~1e-15 pivots whose back-substitution
+    overflowed to Inf - Inf = NaN.  A clamped-relative pivot keeps every
+    intermediate bounded; the (gated) solution on such inputs is a damped
+    minimum-norm-style answer, as the reference's pivoted QR would give.
     """
     a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
     a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
     tiny = jnp.asarray(1e-30, A.dtype)
-    l00 = jnp.sqrt(jnp.maximum(a00, tiny))
+    rel = jnp.asarray(1e-7, A.dtype) * (a00 + a11 + a22)
+    l00 = jnp.sqrt(jnp.maximum(a00, rel + tiny))
     l10 = a01 / l00
     l20 = a02 / l00
-    l11 = jnp.sqrt(jnp.maximum(a11 - l10 * l10, tiny))
+    l11 = jnp.sqrt(jnp.maximum(a11 - l10 * l10, rel + tiny))
     l21 = (a12 - l20 * l10) / l11
-    l22 = jnp.sqrt(jnp.maximum(a22 - l20 * l20 - l21 * l21, tiny))
+    l22 = jnp.sqrt(jnp.maximum(a22 - l20 * l20 - l21 * l21, rel + tiny))
     y0 = b[..., 0] / l00
     y1 = (b[..., 1] - l10 * y0) / l11
     y2 = (b[..., 2] - l20 * y0 - l21 * y1) / l22
@@ -200,38 +209,49 @@ def pca_line_fit(neighbors: jnp.ndarray, valid: jnp.ndarray):
 
 
 def plane_fit(neighbors: jnp.ndarray, valid: jnp.ndarray, tol: float):
-    """Fit n . p = -1 over K neighbours, reference-style (LM.cpp:569-597).
+    """Fit the neighbour plane; returns (unit_n [..., 3], d0 [...],
+    plane_ok [...]) with the residual convention ``unit_n . p + d0``;
+    plane_ok requires every valid neighbour within ``tol`` of the plane
+    (LM.cpp:582-597).
 
-    Returns (unit_n [..., 3], d0 [...], plane_ok [...]): d0 is the plane
-    offset after normalisation; plane_ok requires every valid neighbour within
-    ``tol`` of the plane.
-
-    Numerics, measured (2026-08): at golden-scene coordinate scale the
-    closed-form Cholesky, the LU lowering, and an f64 reference fit agree to
-    <0.1 deg and produce identical plane_ok sets, yet single-seed end-to-end
-    ATE can still differ 2-4x between them — the recursive pipeline amplifies
-    ulp-level rounding into chaotic trajectory divergence with no systematic
-    bias (variance study across render seeds; regression tests therefore
-    assert on multi-seed medians, never a single run).  The one SYSTEMATIC
-    solver effect ever observed was traced past the fits entirely: sparse
-    first-frame maps make the downstream 6-DoF H rank-deficient, where the
-    unguarded normal-equation step is unbounded noise whose direction flips
-    with any ulp change — fixed at the source by the LOAM eigen-floor
-    projection (gauss_newton.degeneracy_projector), after which the solver
-    lowerings are statistically equivalent and Cholesky wins on cost
-    (2.75 ms -> 0.05 ms per association on v5e).  Reformulations that change
-    the *solved system* (centred Sherman-Morrison, rank gates) stay out:
-    the raw system is the reference's (LM.cpp:569-581).
+    DOCUMENTED DEVIATION from the reference's raw ``n . p = -1`` LS system
+    (LM.cpp:569-581): that system's conditioning scales with the squared
+    DISTANCE of the points from the origin, not their spread — at the
+    sensor-realistic 50-120 m coordinates of the bench circuit cond(AtA)
+    is ~1e7 even for a PERFECT plane and >>2^24 for degenerate neighbour
+    sets, beyond f32 entirely (measured: the f32 Cholesky NaN'd on
+    degenerate far sets, and the non-finite-H guard then froze whole
+    scan-to-map solves — the round-2 seed-2 divergence window,
+    benchmarks/map_spectrum.py; a scale-relative ridge fixed the NaNs but
+    biased healthy far fits by >0.5 m).  The reference survives only
+    because Eigen's pivoted QR runs in f64.  TPU-native f32 needs the
+    CENTERED total-least-squares fit: the normal is the smallest
+    eigenvector of the centred covariance (conditioned on point SPREAD,
+    scale-invariant), d0 = -n . centroid.  For the coplanar sets the 0.2 m
+    gate accepts, the two formulations agree to first order in the
+    residuals.
     """
     w = valid[..., None].astype(neighbors.dtype)
-    A = neighbors * w
-    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
-    Atb = jnp.einsum("...ki->...i", -A)
-    AtA = AtA + 1e-6 * jnp.eye(3, dtype=neighbors.dtype)
-    n = solve_spd_3x3(AtA, Atb)
-    n_norm = jnp.sqrt(jnp.maximum(jnp.sum(n * n, -1), EPS))
-    d0 = 1.0 / n_norm
-    unit_n = n / n_norm[..., None]
+    cnt = jnp.maximum(jnp.sum(w, -2), 1.0)
+    center = jnp.sum(neighbors * w, -2) / cnt
+    q = (neighbors - center[..., None, :]) * w
+    C = jnp.einsum("...ki,...kj->...ij", q, q)
+    ev = sym_eigvals_3x3(C)                      # ascending l0 <= l1 <= l2
+    I = jnp.eye(3, dtype=neighbors.dtype)
+    # Cayley-Hamilton: columns of (C - l1)(C - l2) span the l0 eigenvector;
+    # signal strength (l1 - l0)(l2 - l0) is strong exactly when the set is
+    # planar (l0 << l1).  Collinear/degenerate sets fall back to a fixed
+    # axis — finite output, and their plane passes the tol gate just as the
+    # reference's arbitrary rank-deficient QR solution would.
+    A0 = (C - ev[..., 1, None, None] * I) @ (C - ev[..., 2, None, None] * I)
+    norms = jnp.sum(A0 * A0, axis=-2)
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(A0, best[..., None, None].repeat(3, -2), -1)[..., 0]
+    n2 = jnp.sum(v * v, -1, keepdims=True)
+    ez = jnp.broadcast_to(jnp.eye(3, dtype=neighbors.dtype)[2],
+                          v.shape)
+    unit_n = jnp.where(n2 > 1e-20, v / jnp.sqrt(jnp.maximum(n2, EPS)), ez)
+    d0 = -jnp.sum(unit_n * center, -1)
     dist = jnp.abs(jnp.einsum("...ki,...i->...k", neighbors, unit_n) + d0[..., None])
     plane_ok = jnp.all(jnp.where(valid, dist <= tol, True), -1)
     return unit_n, d0, plane_ok

@@ -36,7 +36,18 @@ def gn_step(params: jnp.ndarray, r: jnp.ndarray, J: jnp.ndarray,
             weight: jnp.ndarray, dim_mask: jnp.ndarray,
             huber_delta: float, damping: float = 1e-6,
             min_count: int = 0) -> jnp.ndarray:
-    """One masked GN update. weight: per-residual validity (0 = padding)."""
+    """One masked GN update. weight: per-residual validity (0 = padding).
+
+    Non-finite rows are DROPPED, not allowed to freeze the solve: a single
+    NaN residual/Jacobian entry would otherwise poison H (0 * NaN = NaN)
+    and the non-finite guards then zero the whole update — round 2's
+    mapping silently ran inert for whole frame windows this way (see
+    ops/eig3.plane_fit).  The row sanitisation costs two elementwise masks.
+    """
+    row_ok = jnp.isfinite(r) & jnp.all(jnp.isfinite(J), axis=-1)
+    r = jnp.where(row_ok, r, 0.0)
+    J = jnp.where(row_ok[:, None], J, 0.0)
+    weight = weight * row_ok.astype(weight.dtype)
     w = weight * huber_weight(r, huber_delta)
     Jw = J * w[:, None]
     H = J.T @ Jw                                  # [6, 6]
@@ -111,6 +122,13 @@ def solve_gn(residual_fn: Callable[[jnp.ndarray], tuple],
 
     def res_with_prior(p):
         r, J, w = residual_fn(p)
+        # drop non-finite rows HERE too: the degeneracy projector consumes
+        # (r, J, w) directly, and one NaN row would otherwise trip its
+        # conservative full-freeze (P = 0) for the entire solve
+        row_ok = jnp.isfinite(r) & jnp.all(jnp.isfinite(J), axis=-1)
+        r = jnp.where(row_ok, r, 0.0)
+        J = jnp.where(row_ok[:, None], J, 0.0)
+        w = w * row_ok.astype(w.dtype)
         if prior_weight > 0.0:
             sw = jnp.sqrt(jnp.asarray(prior_weight, p.dtype))
             r_p = sw * (p - params0)

@@ -140,11 +140,13 @@ def main():
     # multi-seed ATE diagnostic: the recursive pipeline amplifies ulp-level
     # rounding into chaotic per-seed divergence (see tests/test_regression),
     # so a single-render ATE is one sample, not an accuracy number.  The
+    # MEDIAN over 5 noise realizations is the primary accuracy diagnostic
+    # (VERDICT r2 weak #1: the headline must not be the best seed).  The
     # compiled program is reused, so the extra seeds cost only render+run.
     if os.environ.get("BENCH_ATE_SEEDS", "1") not in ("0", ""):
         ates = [float(ate)]
         loops_all = [n_loops]
-        for seed in (1, 2):
+        for seed in (1, 2, 3, 4):
             _, p_s, m_s = _rendered_sequence(cfg, n_frames, synthetic,
                                              seed=seed)
             st_s, est_s = scan(state, jnp.asarray(p_s), jnp.asarray(m_s),
@@ -153,8 +155,10 @@ def main():
             ates.append(float(metrics.ate_rmse(e[:, :3, 3], poses[:, :3, 3],
                                                align=False)))
             loops_all.append(int(st_s.mapping.graph.loop_count))
-        log(f"ATE across render seeds: {[round(a, 3) for a in ates]} "
-            f"median {np.median(ates):.3f} m, loops {loops_all}")
+        log(f"PRIMARY ATE (median of {len(ates)} render seeds): "
+            f"{np.median(ates):.3f} m  (worst {max(ates):.3f})")
+        log(f"ATE across render seeds: {[round(a, 3) for a in ates]}, "
+            f"loops {loops_all}")
 
     try:
         with open(os.path.join(REPO, "benchmarks", "cpu_baseline.json")) as f:

@@ -262,3 +262,57 @@ def test_degeneracy_projection_freezes_unobservable_dims():
     np.testing.assert_allclose(p[:2], target[:2], atol=1e-3)
     # z frozen at the warm start, not dragged by the singular solve
     assert abs(p[2] - 0.123) < 1e-5, p
+
+
+def test_plane_fit_far_degenerate_is_finite():
+    """f32 plane fits on near-collinear neighbour sets at ~100 m coordinates
+    must stay finite (round-2 root cause: absolute ridge left cond >> 2^24,
+    Cholesky back-substitution overflowed to NaN and the non-finite-H guard
+    froze whole scan-to-map solves — benchmarks/map_spectrum.py)."""
+    import jax.numpy as jnp
+    from alego_tpu.ops.eig3 import plane_fit
+
+    rng = np.random.default_rng(0)
+    base = np.array([80.0, -60.0, 1.5], np.float32)
+    d = np.array([0.8, 0.6, 0.0], np.float32)
+    # 5 nearly-collinear points along d with ~1 mm off-line jitter
+    nbrs = base + np.outer(np.linspace(0, 2, 5), d)
+    nbrs = (nbrs + rng.normal(0, 1e-3, nbrs.shape)).astype(np.float32)
+    batch = jnp.asarray(np.tile(nbrs[None], (64, 1, 1)))
+    unit_n, d0, ok = plane_fit(batch, jnp.ones((64, 5), bool), 0.2)
+    assert np.isfinite(np.asarray(unit_n)).all()
+    assert np.isfinite(np.asarray(d0)).all()
+    # well-conditioned fits unaffected by the relative ridge
+    good = jnp.asarray(np.array([[0, 0, 0], [1, 0, 0.0], [0, 1, 0],
+                                 [1, 1, 0], [0.5, 0.5, 0]], np.float32)
+                       + np.array([50, 50, -1.5], np.float32))[None]
+    n2, dd2, ok2 = plane_fit(good, jnp.ones((1, 5), bool), 0.2)
+    assert bool(np.asarray(ok2)[0])
+    assert abs(abs(float(np.asarray(n2)[0, 2])) - 1.0) < 1e-3
+
+
+def test_solve_gn_survives_nan_rows():
+    """A few NaN residual/Jacobian rows must be dropped, not freeze the
+    solve (round 2's silent inert-mapping failure mode)."""
+    from alego_tpu.ops.gauss_newton import solve_gn, FULL_DIMS
+
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(64, 6)).astype(np.float32)
+    x_true = rng.normal(size=6).astype(np.float32)
+    b = A @ x_true
+
+    def res_fn(p):
+        r = jnp.asarray(A) @ p - jnp.asarray(b)
+        J = jnp.asarray(A)
+        r = r.at[3].set(jnp.nan)
+        J = J.at[10, 2].set(jnp.inf)
+        return r, J, jnp.ones(64)
+
+    p = solve_gn(res_fn, jnp.zeros(6, jnp.float32), 10, FULL_DIMS,
+                 huber_delta=1e9, param_tol=1e-7)
+    assert np.isfinite(np.asarray(p)).all()
+    np.testing.assert_allclose(np.asarray(p), x_true, atol=1e-3)
+    # with the eigen-floor projector enabled too (mapping's configuration)
+    p2 = solve_gn(res_fn, jnp.zeros(6, jnp.float32), 10, FULL_DIMS,
+                  huber_delta=1e9, param_tol=1e-7, eig_floor=0.5)
+    np.testing.assert_allclose(np.asarray(p2), x_true, atol=1e-3)
