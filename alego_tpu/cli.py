@@ -39,6 +39,9 @@ def main(argv=None):
                                   "`rosbag play` input path, no ROS needed")
     ap.add_argument("--topic", help="PointCloud2 topic inside --bag "
                                     "(default: every PointCloud2 topic)")
+    ap.add_argument("--use-imu", action="store_true",
+                    help="enable IMU-aided de-skew (utility.h:68) and feed "
+                         "sensor_msgs/Imu messages from --bag")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="run N synthetic frames instead of real data")
     ap.add_argument("--output", default="alego_out", help="output directory")
@@ -92,6 +95,8 @@ def main(argv=None):
         cfg = PipelineConfig()
     if args.no_loop_closure:
         cfg = cfg.replace(loop_closure_enabled=False)
+    if args.use_imu:
+        cfg = cfg.replace(use_imu=True)
     if args.loop_time_gap is not None:
         cfg = cfg.replace(loop_time_gap=args.loop_time_gap)
     if args.loop_fitness is not None:
@@ -218,17 +223,25 @@ def main(argv=None):
                 pipe.process(pts_seq[k], mask_seq[k])
             maybe_dump_surround()
     elif args.bag:
-        from .utils.rosbag import read_bag_pointclouds
+        from .utils.rosbag import read_bag_messages, PC2_TYPE, IMU_TYPE
 
         n_fed = 0
+        n_imu = 0
         t0_bag = None
-        for t, _topic, pc in read_bag_pointclouds(args.bag, args.topic):
-            t0_bag = pc.stamp if t0_bag is None else t0_bag
-            feed(pc.array(("x", "y", "z")), t=pc.stamp - t0_bag)
+        for t, _topic, mtype, msg in read_bag_messages(args.bag, args.topic):
+            t0_bag = msg.stamp if t0_bag is None else t0_bag
+            if mtype == IMU_TYPE:
+                if args.use_imu:
+                    # the reference's imuHandler (LO.cpp:840-881): rpy from
+                    # the orientation quaternion + body-frame acceleration
+                    pipe.add_imu(msg.stamp - t0_bag, msg.rpy(), msg.lin_acc)
+                    n_imu += 1
+                continue
+            feed(msg.array(("x", "y", "z")), t=msg.stamp - t0_bag)
             n_fed += 1
             if args.max_frames and n_fed >= args.max_frames:
                 break
-        print(f"{n_fed} PointCloud2 messages from {args.bag}")
+        print(f"{n_fed} PointCloud2 + {n_imu} Imu messages from {args.bag}")
     else:
         if not args.input:
             ap.error("either --input, --bag or --synthetic is required")

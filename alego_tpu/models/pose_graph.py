@@ -269,12 +269,25 @@ def optimize(g: PoseGraph, chain_sigma, iters: int = 3,
                 sigma = jnp.asarray(chain_sigma, jnp.float64)
                 Ad, Jr, info, b, Vs = _gn_parts(g64, sigma, loop_w_scale)
                 f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
-                delta = _factored_delta(f32(Ad), f32(Jr), f32(info),
-                                        f32(b), f32(Vs)).astype(jnp.float64)
+                Ad32, Jr32, info32, Vs32 = (f32(Ad), f32(Jr), f32(info),
+                                            f32(Vs))
+                # the expensive T^{-1} Vs block (K = 6L columns) is shared
+                # between the initial solve and the refinement correction;
+                # each refinement step then costs only a K=1 chain solve
+                Z = chain_solve(Ad32, Jr32, info32, Vs32)
+                K = Vs32.shape[-1]
+                core = (jnp.eye(K, dtype=jnp.float32)
+                        + jnp.einsum("nik,nil->kl", Vs32, Z))
+
+                def solve32(b_):
+                    y = chain_solve(Ad32, Jr32, info32,
+                                    -b_[:, :, None])[:, :, 0]
+                    Vty = jnp.einsum("nik,ni->k", Vs32, y)
+                    return y - Z @ jnp.linalg.solve(core, Vty)
+
+                delta = solve32(f32(b)).astype(jnp.float64)
                 res = -b - _apply_system(Ad, Jr, info, Vs, delta)
-                corr = _factored_delta(f32(Ad), f32(Jr), f32(info),
-                                       -f32(res), f32(Vs))
-                delta = delta + corr.astype(jnp.float64)
+                delta = delta + solve32(-f32(res)).astype(jnp.float64)
             delta = delta.astype(dtype)
         else:
             sigma = jnp.asarray(chain_sigma, dtype)

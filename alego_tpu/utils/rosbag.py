@@ -41,6 +41,7 @@ OP_CHUNK_INFO = 0x06
 OP_CONNECTION = 0x07
 
 PC2_TYPE = "sensor_msgs/PointCloud2"
+IMU_TYPE = "sensor_msgs/Imu"
 
 # PointField datatype enum -> numpy dtype (sensor_msgs/PointField.msg)
 _PF_DTYPE = {1: np.int8, 2: np.uint8, 3: np.int16, 4: np.uint16,
@@ -134,6 +135,37 @@ class PointCloud2:
         return np.stack(cols, axis=-1)
 
 
+class ImuMsg:
+    """Parsed sensor_msgs/Imu (the reference's /imu/data input,
+    utility.h:68, LO.cpp:840-881)."""
+
+    __slots__ = ("stamp", "frame_id", "quat", "ang_vel", "lin_acc")
+
+    def __init__(self, raw: bytes):
+        off = 4                                     # header.seq
+        secs, nsecs = struct.unpack_from("<II", raw, off)
+        off += 8
+        (flen,) = struct.unpack_from("<I", raw, off)
+        off += 4
+        self.frame_id = raw[off: off + flen].decode()
+        off += flen
+        self.stamp = secs + nsecs * 1e-9
+        self.quat = np.frombuffer(raw, "<f8", 4, off)        # x y z w
+        off += 32 + 72                               # quat + orientation cov
+        self.ang_vel = np.frombuffer(raw, "<f8", 3, off)
+        off += 24 + 72
+        self.lin_acc = np.frombuffer(raw, "<f8", 3, off)
+
+    def rpy(self) -> np.ndarray:
+        """Roll/pitch/yaw (ZYX convention, matching tf::getRPY as the
+        reference uses in its imuHandler, LO.cpp:843-845)."""
+        x, y, z, w = self.quat
+        roll = np.arctan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
+        pitch = np.arcsin(np.clip(2 * (w * y - z * x), -1, 1))
+        yaw = np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+        return np.array([roll, pitch, yaw])
+
+
 def _decompress(compression: str, data: bytes, size: int) -> bytes:
     if compression == "none":
         return data
@@ -144,11 +176,13 @@ def _decompress(compression: str, data: bytes, size: int) -> bytes:
         "(re-record with --bz2 or none, or `rosbag decompress` first)")
 
 
-def read_bag_pointclouds(path: str, topic: Optional[str] = None,
-                         ) -> Iterator[Tuple[float, str, PointCloud2]]:
-    """Yield (record_time_s, topic, PointCloud2) for every PointCloud2
-    message on ``topic`` (or on ALL PointCloud2 topics when None), in file
-    order.  Streams chunk-by-chunk: peak memory is one chunk."""
+def read_bag_messages(path: str, topic: Optional[str] = None,
+                      types: Tuple[str, ...] = (PC2_TYPE, IMU_TYPE),
+                      ) -> Iterator[Tuple[float, str, str, object]]:
+    """Yield (record_time_s, topic, type, msg) for every message of a
+    supported type (PointCloud2 / Imu) in file order; ``topic`` filters
+    PointCloud2 topics only (IMU always passes, as `rosbag play --topics`
+    users typically keep /imu/data).  Streams chunk-by-chunk."""
     conns = {}          # conn id -> (topic, type)
 
     def handle(records):
@@ -162,10 +196,14 @@ def read_bag_pointclouds(path: str, topic: Optional[str] = None,
             elif op == OP_MSG:
                 cid = _u32(h["conn"])
                 ctopic, ctype = conns.get(cid, ("", ""))
-                if ctype != PC2_TYPE or (topic and ctopic != topic):
+                if ctype not in types:
+                    continue
+                if ctype == PC2_TYPE and topic and ctopic != topic:
                     continue
                 secs, nsecs = struct.unpack("<II", h["time"])
-                yield secs + nsecs * 1e-9, ctopic, PointCloud2(data)
+                msg = (PointCloud2(data) if ctype == PC2_TYPE
+                       else ImuMsg(data))
+                yield secs + nsecs * 1e-9, ctopic, ctype, msg
 
     with open(path, "rb") as f:
         if f.read(len(MAGIC)) != MAGIC:
@@ -187,6 +225,13 @@ def read_bag_pointclouds(path: str, topic: Optional[str] = None,
                 yield from handle([(header, f.read(dlen))])
             else:
                 f.seek(dlen, os.SEEK_CUR)
+
+
+def read_bag_pointclouds(path: str, topic: Optional[str] = None,
+                         ) -> Iterator[Tuple[float, str, PointCloud2]]:
+    """Yield (record_time_s, topic, PointCloud2) — PC2-only view."""
+    for t, tp, ty, msg in read_bag_messages(path, topic, types=(PC2_TYPE,)):
+        yield t, tp, msg
 
 
 def bag_topics(path: str) -> dict:
@@ -280,33 +325,80 @@ def _serialize_pc2(stamp: float, frame_id: str, xyz: np.ndarray,
     return b"".join(out)
 
 
+def _rpy_to_quat(rpy) -> np.ndarray:
+    """ZYX euler -> quaternion (x, y, z, w)."""
+    r, p, y = [v / 2 for v in rpy]
+    cr, sr, cp, sp, cy, sy = (np.cos(r), np.sin(r), np.cos(p), np.sin(p),
+                              np.cos(y), np.sin(y))
+    return np.array([
+        sr * cp * cy - cr * sp * sy,
+        cr * sp * cy + sr * cp * sy,
+        cr * cp * sy - sr * sp * cy,
+        cr * cp * cy + sr * sp * sy])
+
+
+def _serialize_imu(stamp: float, frame_id: str, rpy, lin_acc,
+                   ang_vel=(0.0, 0.0, 0.0)) -> bytes:
+    secs = int(stamp)
+    nsecs = int(round((stamp - secs) * 1e9))
+    fid = frame_id.encode()
+    q = _rpy_to_quat(rpy)
+    cov = np.zeros(9, "<f8").tobytes()
+    return b"".join([
+        struct.pack("<III", 0, secs, nsecs),
+        struct.pack("<I", len(fid)), fid,
+        np.asarray(q, "<f8").tobytes(), cov,
+        np.asarray(ang_vel, "<f8").tobytes(), cov,
+        np.asarray(lin_acc, "<f8").tobytes(), cov,
+    ])
+
+
 def write_bag_pointclouds(path: str, clouds, topic: str = "/lslidar_points",
-                          frame_id: str = "laser") -> None:
-    """Write [(stamp, xyz [N,3]) or (stamp, xyz, intensity)] as a bag with
-    one uncompressed chunk.  Readable by this module and by ROS tooling
-    after ``rosbag reindex`` (no index records are written)."""
+                          frame_id: str = "laser", imu=None,
+                          imu_topic: str = "/imu/data") -> None:
+    """Write [(stamp, xyz [N,3]) or (stamp, xyz, intensity)] — plus optional
+    ``imu`` samples [(stamp, rpy, lin_acc[, ang_vel])] — as a bag with one
+    uncompressed chunk, messages merged in stamp order.  Readable by this
+    module and by ROS tooling after ``rosbag reindex``."""
     md5 = "1158d486dd51d683ce2f1be655c3c181"   # PointCloud2's well-known md5
+    imu_md5 = "6a62c6daae103f4ff57a132d6f95cec2"
     conn = _record(
         {"op": bytes([OP_CONNECTION]), "conn": struct.pack("<I", 0),
          "topic": topic.encode()},
         _header({"topic": topic.encode(), "type": PC2_TYPE.encode(),
                  "md5sum": md5.encode(), "message_definition": b""}))
-    msgs = []
+    if imu:
+        conn += _record(
+            {"op": bytes([OP_CONNECTION]), "conn": struct.pack("<I", 1),
+             "topic": imu_topic.encode()},
+            _header({"topic": imu_topic.encode(), "type": IMU_TYPE.encode(),
+                     "md5sum": imu_md5.encode(), "message_definition": b""}))
+
+    stream = []
     for item in clouds:
         stamp, xyz = item[0], item[1]
         inten = item[2] if len(item) > 2 else None
+        stream.append((stamp, 0, _serialize_pc2(stamp, frame_id, xyz, inten)))
+    for item in (imu or []):
+        stamp, rpy, acc = item[0], item[1], item[2]
+        av = item[3] if len(item) > 3 else (0.0, 0.0, 0.0)
+        stream.append((stamp, 1, _serialize_imu(stamp, "imu", rpy, acc, av)))
+    stream.sort(key=lambda s: (s[0], s[1]))
+
+    msgs = []
+    for stamp, cid, payload in stream:
         secs = int(stamp)
         nsecs = int(round((stamp - secs) * 1e9))
         msgs.append(_record(
-            {"op": bytes([OP_MSG]), "conn": struct.pack("<I", 0),
+            {"op": bytes([OP_MSG]), "conn": struct.pack("<I", cid),
              "time": struct.pack("<II", secs, nsecs)},
-            _serialize_pc2(stamp, frame_id, xyz, inten)))
+            payload))
     blob = conn + b"".join(msgs)
     chunk = _record({"op": bytes([OP_CHUNK]), "compression": b"none",
                      "size": struct.pack("<I", len(blob))}, blob)
     bag_hdr = _record(
         {"op": bytes([OP_BAG_HEADER]), "index_pos": struct.pack("<Q", 0),
-         "conn_count": struct.pack("<I", 1),
+         "conn_count": struct.pack("<I", 2 if imu else 1),
          "chunk_count": struct.pack("<I", 1)},
         b" " * 128)                                # spec: padded header record
     with open(path, "wb") as f:

@@ -91,3 +91,38 @@ def test_cli_bag_replay(tmp_path):
     traj = np.loadtxt(out + "/trajectory_tum.txt")
     assert traj.shape == (4, 8)
     assert np.isfinite(traj).all()
+
+
+def test_imu_roundtrip(tmp_path):
+    """sensor_msgs/Imu write -> parse roundtrip, interleaved with clouds
+    (the reference's /imu/data bag input, utility.h:68)."""
+    import numpy as np
+    from alego_tpu.utils.rosbag import (write_bag_pointclouds,
+                                        read_bag_messages, bag_topics,
+                                        IMU_TYPE, PC2_TYPE)
+
+    rng = np.random.default_rng(0)
+    clouds = [(0.1, rng.normal(size=(50, 3)).astype(np.float32)),
+              (0.3, rng.normal(size=(40, 3)).astype(np.float32))]
+    imu = [(0.05, (0.01, -0.02, 0.5), (0.1, 0.2, 9.9)),
+           (0.15, (0.0, 0.0, 0.6), (0.0, 0.0, 9.81), (0.0, 0.0, 0.5)),
+           (0.25, (0.02, 0.01, 0.7), (-0.1, 0.1, 9.7))]
+    path = str(tmp_path / "mix.bag")
+    write_bag_pointclouds(path, clouds, topic="/pc", imu=imu)
+
+    topics = bag_topics(path)
+    assert topics["/pc"] == (PC2_TYPE, 2)
+    assert topics["/imu/data"] == (IMU_TYPE, 3)
+
+    got_pc, got_imu = [], []
+    for t, topic, mtype, msg in read_bag_messages(path):
+        (got_imu if mtype == IMU_TYPE else got_pc).append(msg)
+    assert len(got_pc) == 2 and len(got_imu) == 3
+    # stamp order preserved (interleaved by time)
+    m = got_imu[1]
+    assert abs(m.stamp - 0.15) < 1e-6
+    np.testing.assert_allclose(m.rpy(), [0.0, 0.0, 0.6], atol=1e-9)
+    np.testing.assert_allclose(m.lin_acc, [0.0, 0.0, 9.81])
+    np.testing.assert_allclose(m.ang_vel, [0.0, 0.0, 0.5])
+    np.testing.assert_allclose(got_imu[0].rpy(), [0.01, -0.02, 0.5],
+                               atol=1e-9)
