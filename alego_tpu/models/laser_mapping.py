@@ -170,9 +170,27 @@ def _downsample_scan(corner_pts, corner_valid, surf_pts, surf_valid,
     return c_ds, c_ok, s_ds, s_ok, o_ds, o_ok, st_ds, st_ok
 
 
+def _default_assoc(cfg: PipelineConfig):
+    """5-NN association returning neighbour COORDS (single-device path)."""
+
+    def assoc(sel, ok, mpts, mok):
+        d, i = knn(sel, ok, mpts, mok, cfg.map_knn, chunk=cfg.knn_chunk)
+        return d, mpts[i]
+
+    return assoc
+
+
 def _scan_to_map(params0, c_ds, c_ok, st_ds, st_ok,
-                 map_c, map_c_ok, map_s, map_s_ok, cfg: PipelineConfig):
-    """scan2MapOptimization (LM.cpp:493-624): association + full-6DoF GN."""
+                 map_c, map_c_ok, map_s, map_s_ok, cfg: PipelineConfig,
+                 assoc=None):
+    """scan2MapOptimization (LM.cpp:493-624): association + full-6DoF GN.
+
+    ``assoc(sel, ok, map_pts, map_ok) -> (d2 [Q, k], nbrs [Q, k, 3])`` is
+    pluggable: the default searches a local map; parallel/sharded_mapping
+    supplies the mesh-sharded search (coords come back with the candidates,
+    so no global gather against a sharded store is ever needed)."""
+    if assoc is None:
+        assoc = _default_assoc(cfg)
     enough = ((jnp.sum(c_ok) >= cfg.min_corner_for_map)
               & (jnp.sum(st_ok) >= cfg.min_surf_for_map)
               & (jnp.sum(map_c_ok) >= cfg.min_corner_for_map))
@@ -180,10 +198,8 @@ def _scan_to_map(params0, c_ds, c_ok, st_ds, st_ok,
     def outer(_, params):
         # corner: 5-NN + PCA line test (LM.cpp:516-562)
         sel_c = se3.transform_points(params, c_ds)
-        d_c, i_c = knn(sel_c, c_ok, map_c, map_c_ok, cfg.map_knn,
-                       chunk=cfg.knn_chunk)
+        d_c, nbrs = assoc(sel_c, c_ok, map_c, map_c_ok)
         near_c = c_ok & (d_c[:, cfg.map_knn - 1] < cfg.map_nn_max_dist_sq)
-        nbrs = map_c[i_c]                                   # [Q, 5, 3]
         center, direction, ev = pca_line_fit(nbrs, jnp.ones_like(d_c, bool))
         is_line = ev[:, 2] > cfg.line_eig_ratio * ev[:, 1]
         pj = center + 0.1 * direction
@@ -192,10 +208,8 @@ def _scan_to_map(params0, c_ds, c_ok, st_ds, st_ok,
 
         # surf: 5-NN + plane fit (LM.cpp:564-607)
         sel_s = se3.transform_points(params, st_ds)
-        d_s, i_s = knn(sel_s, st_ok, map_s, map_s_ok, cfg.map_knn,
-                       chunk=cfg.knn_chunk)
+        d_s, nbrs_s = assoc(sel_s, st_ok, map_s, map_s_ok)
         near_s = st_ok & (d_s[:, cfg.map_knn - 1] < cfg.map_nn_max_dist_sq)
-        nbrs_s = map_s[i_s]
         unit_n, d0, plane_ok = plane_fit(nbrs_s, jnp.ones_like(d_s, bool),
                                          cfg.plane_fit_tol)
         w_plane = (near_s & plane_ok).astype(params.dtype)
@@ -219,8 +233,10 @@ def _scan_to_map(params0, c_ds, c_ok, st_ds, st_ok,
 def mapping_step(ms: MappingState, T_odom2laser: jnp.ndarray,
                  corner_pts, corner_valid, surf_pts, surf_valid,
                  outlier_pts, outlier_valid, time: jnp.ndarray,
-                 cfg: PipelineConfig):
-    """One mapping frame. Returns (new_state, T_map2laser)."""
+                 cfg: PipelineConfig, assoc=None):
+    """One mapping frame. Returns (new_state, T_map2laser).
+
+    ``assoc``: optional distributed association (see _scan_to_map)."""
     # transformAssociateToMap (LM.cpp:333-337)
     T_pred = ms.T_map2odom @ T_odom2laser
 
@@ -248,7 +264,7 @@ def mapping_step(ms: MappingState, T_odom2laser: jnp.ndarray,
     params = jnp.where(
         has_map,
         _scan_to_map(params0, c_ds, c_ok, st_ds, st_ok,
-                     map_c, map_c_ok, map_s, map_s_ok, cfg),
+                     map_c, map_c_ok, map_s, map_s_ok, cfg, assoc=assoc),
         params0)
     T_new = se3.params_to_mat(params)
 
@@ -394,8 +410,13 @@ def detect_loop(ms: MappingState, cfg: PipelineConfig):
     return elig.any(), closest, latest
 
 
-def loop_closure_step(ms: MappingState, cfg: PipelineConfig):
-    """performLoopClosure equivalent. Returns (new_state, closed?, fitness)."""
+def loop_closure_step(ms: MappingState, cfg: PipelineConfig,
+                      graph_optimizer=None):
+    """performLoopClosure equivalent. Returns (new_state, closed?, fitness).
+
+    ``graph_optimizer(graph) -> graph``: optional replacement for the
+    single-device pose-graph solve — parallel/sharded_mapping passes the
+    distributed Schur solver here (SURVEY §7 phase 7)."""
     found, closest, latest = detect_loop(ms, cfg)
 
     def attempt(ms):
@@ -445,8 +466,11 @@ def loop_closure_step(ms: MappingState, cfg: PipelineConfig):
             # factored O(N) GN (ops/chain_solver): the full relinearised
             # solve runs here, where the reference spends its iSAM2 update
             # x2 (LM.cpp:880-881)
-            g = pg.optimize(g, cfg.pose_graph_chain_sigma,
-                            iters=cfg.pose_graph_gn_iters)
+            if graph_optimizer is None:
+                g = pg.optimize(g, cfg.pose_graph_chain_sigma,
+                                iters=cfg.pose_graph_gn_iters)
+            else:
+                g = graph_optimizer(g)
             # correctPoses map2odom rebase (LM.cpp:725-726); keyframe poses
             # moved -> cached local map is stale
             T_m2o = res.transform @ ms.T_map2odom

@@ -29,21 +29,29 @@ from ..ops.knn import knn_best
 
 
 def make_sharded_map_knn(mesh: Mesh, k: int, axis: str = "data",
-                         chunk: int = 4096):
+                         chunk: int = 4096, return_coords: bool = False):
     """Returns jitted fn: (query [Q, 3], qmask [Q], map_pts [N, 3],
     map_ok [N]) -> (d2 [Q, k] ascending, idx [Q, k] GLOBAL row indices),
     with map_pts/map_ok sharded over ``axis`` (N divisible by mesh size)
-    and query replicated."""
+    and query replicated.
+
+    ``return_coords=True`` additionally returns the neighbour COORDINATES
+    [Q, k, 3]: each device gathers candidates from its own shard before the
+    merge, so the consumer needs no global-row gather against the sharded
+    store (the line/plane fits read coordinates, never indices) — traffic
+    stays O(D*Q*k)."""
     D = mesh.shape[axis]
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), P(axis), P(axis)),
-             out_specs=(P(), P()),
+             out_specs=((P(), P(), P()) if return_coords else (P(), P())),
              check_vma=False)
     def _knn(query, qmask, mp, mok):
         # local top-k on this device's map shard (global row offset applied)
         d_loc, i_loc = knn_best(query, qmask, mp, mok, k, chunk=chunk)
         base = jax.lax.axis_index(axis) * mp.shape[0]
+        if return_coords:
+            c_loc = mp[i_loc]                            # local-shard gather
         i_loc = i_loc + base
         # O(D*Q*k) candidate exchange — never the map itself
         d_all = jax.lax.all_gather(d_loc, axis)          # [D, Q, k]
@@ -54,7 +62,12 @@ def make_sharded_map_knn(mesh: Mesh, k: int, axis: str = "data",
         neg, pos = jax.lax.top_k(-d_cat, k)
         d_best = -neg
         i_best = jnp.take_along_axis(i_cat, pos, axis=1)
-        return d_best, i_best
+        if not return_coords:
+            return d_best, i_best
+        c_all = jax.lax.all_gather(c_loc, axis)          # [D, Q, k, 3]
+        c_cat = jnp.transpose(c_all, (1, 0, 2, 3)).reshape(Q, D * k, 3)
+        c_best = jnp.take_along_axis(c_cat, pos[..., None], axis=1)
+        return d_best, i_best, c_best
 
     return jax.jit(_knn)
 
