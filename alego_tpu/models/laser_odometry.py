@@ -115,42 +115,52 @@ def _associate_corner(params, fc: FeatureClouds, st: OdometryState,
 
 def odometry_step(st: OdometryState, fc: FeatureClouds, cfg: PipelineConfig):
     """One odometry frame. Returns (new_state, pose4x4_world)."""
-    # ---- step A: surf association + z-only solve (LO.cpp:408-492) ----
-    s_cp, s_pj, s_pl, s_pm, s_w = _associate_surf(st.params, fc, st, cfg)
+    def two_step(params):
+        # ---- step A: surf association + z-only solve (LO.cpp:408-492) ----
+        s_cp, s_pj, s_pl, s_pm, s_w = _associate_surf(params, fc, st, cfg)
 
-    def surf_res(p):
-        r, J = point_to_plane_3pt(p, s_cp, s_pj, s_pl, s_pm)
-        return r, J, s_w
+        def surf_res(p):
+            r, J = point_to_plane_3pt(p, s_cp, s_pj, s_pl, s_pm)
+            return r, J, s_w
 
-    params_a = solve_gn(surf_res, st.params, cfg.odom_surf_iters, SURF_DIMS,
-                        cfg.huber_delta, min_count=cfg.min_correspondences,
-                        eig_floor=cfg.odom_eig_floor,
-                        prior_weight=cfg.odom_prior_weight)
+        params_a = solve_gn(surf_res, params, cfg.odom_surf_iters,
+                            SURF_DIMS, cfg.huber_delta,
+                            min_count=cfg.min_correspondences,
+                            eig_floor=cfg.odom_eig_floor,
+                            prior_weight=cfg.odom_prior_weight)
 
-    # ---- step B: corner association (updated pose) + joint solve ----
-    c_cp, c_pj, c_pl, c_w = _associate_corner(params_a, fc, st, cfg)
-    enough_corners = jnp.sum(c_w > 0) >= cfg.min_correspondences
+        # ---- step B: corner association (updated pose) + joint solve ----
+        c_cp, c_pj, c_pl, c_w = _associate_corner(params_a, fc, st, cfg)
+        enough_corners = jnp.sum(c_w > 0) >= cfg.min_correspondences
 
-    def joint_res(p):
-        r_s, J_s = point_to_plane_3pt(p, s_cp, s_pj, s_pl, s_pm)
-        r_c, J_c = point_to_line(p, c_cp, c_pj, c_pl)
-        # corners carry x, y, yaw info; surfs carry z (masked at solver level
-        # jointly via STEP_B_DIMS; per-family column zeroing as in the ref)
-        J_s = J_s * SURF_DIMS.astype(J_s.dtype)[None, :]
-        corner_dims = jnp.array([1, 1, 0, 0, 0, 1], J_c.dtype)
-        J_c = J_c * corner_dims[None, :]
-        r = jnp.concatenate([r_s, r_c])
-        J = jnp.concatenate([J_s, J_c])
-        w = jnp.concatenate([s_w, c_w * enough_corners.astype(c_w.dtype)])
-        return r, J, w
+        def joint_res(p):
+            r_s, J_s = point_to_plane_3pt(p, s_cp, s_pj, s_pl, s_pm)
+            r_c, J_c = point_to_line(p, c_cp, c_pj, c_pl)
+            # corners carry x, y, yaw info; surfs carry z (masked at solver
+            # level jointly via STEP_B_DIMS; per-family column zeroing as in
+            # the ref)
+            J_s = J_s * SURF_DIMS.astype(J_s.dtype)[None, :]
+            corner_dims = jnp.array([1, 1, 0, 0, 0, 1], J_c.dtype)
+            J_c = J_c * corner_dims[None, :]
+            r = jnp.concatenate([r_s, r_c])
+            J = jnp.concatenate([J_s, J_c])
+            w = jnp.concatenate([s_w, c_w * enough_corners.astype(c_w.dtype)])
+            return r, J, w
 
-    params_b = solve_gn(joint_res, params_a, cfg.odom_corner_iters, STEP_B_DIMS,
-                        cfg.huber_delta, min_count=cfg.min_correspondences,
-                        eig_floor=cfg.odom_eig_floor,
-                        prior_weight=cfg.odom_prior_weight)
-    # with too few corners the reference skips the second ceres::Solve
-    # entirely, leaving the step-A result (LO.cpp:556-574)
-    params_b = jnp.where(enough_corners, params_b, params_a)
+        params_b = solve_gn(joint_res, params_a, cfg.odom_corner_iters,
+                            STEP_B_DIMS, cfg.huber_delta,
+                            min_count=cfg.min_correspondences,
+                            eig_floor=cfg.odom_eig_floor,
+                            prior_weight=cfg.odom_prior_weight)
+        # with too few corners the reference skips the second ceres::Solve
+        # entirely, leaving the step-A result (LO.cpp:556-574)
+        return jnp.where(enough_corners, params_b, params_a)
+
+    # outer re-association passes (cfg.odom_outer_iters; see config — fixes
+    # the locked-in association bias at yaw-rate transitions)
+    params_b = st.params
+    for _ in range(max(cfg.odom_outer_iters, 1)):
+        params_b = two_step(params_b)
 
     # first frame: no previous features -> keep params (all-zero weights keep
     # GN inert anyway; make it explicit)

@@ -92,7 +92,8 @@ def solve_gn(residual_fn: Callable[[jnp.ndarray], tuple],
              huber_delta: float, damping: float = 1e-6,
              min_count: int = 0, param_tol: float = 1e-4,
              eig_floor: float = 0.0,
-             prior_weight: float = 0.0) -> jnp.ndarray:
+             prior_weight: float = 0.0,
+             max_step: float = 1.0) -> jnp.ndarray:
     """GN with ``iters`` max iterations and Ceres-style early stopping:
     the loop exits once the update falls below ``param_tol`` (Ceres stops on
     its tolerances well before max_num_iterations in the common case —
@@ -163,7 +164,17 @@ def solve_gn(residual_fn: Callable[[jnp.ndarray], tuple],
         # its reference semantics (LO.cpp:481,555)
         mc = min_count + (6 if prior_weight > 0.0 else 0)
         p_new = gn_step(p, r, J, w, dim_mask, huber_delta, damping, mc)
-        p_new = p + P @ (p_new - p)
+        d = P @ (p_new - p)
+        # step-norm cap (the bounding role of Ceres's trust region,
+        # LO.cpp:483/LM.cpp:612): a raw normal-equation step on a sparse or
+        # ambiguous constraint set is unbounded — one measured failure mode
+        # was a near-pi yaw jump when a 2-frame-old map met a re-associated
+        # scan, flipping the whole trajectory 180 degrees.  Converged steps
+        # are <<1; only runaway iterations are touched.
+        if max_step > 0.0:
+            s = jnp.max(jnp.abs(d))
+            d = d * jnp.minimum(1.0, max_step / jnp.maximum(s, 1e-12))
+        p_new = p + d
         step = jnp.max(jnp.abs(p_new - p))
         return p_new, P, step, it + 1
 

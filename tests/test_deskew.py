@@ -128,7 +128,12 @@ def test_deskew_improves_fast_spin_ate():
     from alego_tpu.utils import synthetic, metrics
 
     n = 40
-    cfg0 = tiny_config(loop_closure_enabled=False)
+    # odom_outer_iters=1 isolates DE-SKEW under the reference's single-
+    # association semantics: at this extreme constant spin, re-association
+    # passes interact with the residual skew (measured: outer=3 degrades
+    # both arms here, while on the realistic urban circuit with IMU de-skew
+    # it wins 11.8 -> 6.7 m — see config.odom_outer_iters)
+    cfg0 = tiny_config(loop_closure_enabled=False, odom_outer_iters=1)
     # 0.2 rad/frame yaw (57 deg/s): skew displaces an 8 m return by ~1.6 m
     # across the sweep — far above the noise floor
     poses = synthetic.loop_trajectory(n, radius=8.0, speed=1.6, closed=False)

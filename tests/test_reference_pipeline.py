@@ -27,7 +27,10 @@ from reference_pipeline import run_reference_odometry
 
 
 def test_jax_odometry_matches_composed_numpy_oracle():
-    cfg = tiny_config(loop_closure_enabled=False, parallel_sectors=False)
+    # odom_outer_iters=1: the NumPy oracle implements the reference's
+    # single-association semantics (LO.cpp:408,498)
+    cfg = tiny_config(loop_closure_enabled=False, parallel_sectors=False,
+                      odom_outer_iters=1)
     n = 24
     poses = synthetic.loop_trajectory(n, radius=25.0, speed=0.8, closed=False)
     world = synthetic.make_world(seed=7, clear_path=poses[:, :2, 3])
