@@ -204,7 +204,13 @@ class PipelineConfig:
     map_surf_cap: int = 16384       # merged+downsampled local surf map
     loop_hist_cap: int = 32768      # loop-closure history cloud
     loop_latest_cap: int = 4096     # loop-closure latest keyframe cloud
-    max_loop_factors: int = 64      # stored loop-closure constraints
+    max_loop_factors: int = 32      # stored loop-closure constraints.
+                                    # Width of the Woodbury fold-in
+                                    # (K = 1 + 6L rhs columns through the
+                                    # chain solve) scales compile + runtime;
+                                    # 32 is >3x any measured closure count
+                                    # (bench: <=9) and overflow is counted,
+                                    # never silent (pose_graph)
     knn_chunk: int = 4096           # map points per streamed KNN chunk
 
     compute_dtype: str = "float32"

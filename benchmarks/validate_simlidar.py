@@ -100,6 +100,11 @@ def main():
     cli_args = ["--bag", bag_path, "--output", out_dir, "--viz", "--save-map"]
     if "--no-imu" not in sys.argv:
         cli_args.append("--use-imu")
+    if "--nodelet" in sys.argv:
+        # the reference's nodelet variant: loop radius 20 m / fitness 0.4
+        # (laserMapping.cpp:76-78) — the wider gate for rougher conditions
+        cli_args += ["--preset", "nodelet"]
+        cfg = __import__("alego_tpu.config", fromlist=["x"]).nodelet_config()
     rc = cli_main(cli_args)
     assert rc == 0
     wall = time.time() - t0
@@ -124,10 +129,13 @@ def main():
     kf = int(pipe.state.mapping.graph.count)
     loops = int(pipe.state.mapping.graph.loop_count)
     attempts = int(pipe.state.mapping.loop_attempts)
+    best_fit = float(pipe.state.mapping.loop_best_fitness)
 
     result = dict(n_frames=int(len(est_xyz)), ate_unaligned=round(ate, 3),
                   ate_aligned=round(ate_aligned, 3), keyframes=kf,
                   loops=loops, loop_attempts=attempts,
+                  best_fitness=round(best_fit, 3),
+                  preset="nodelet" if "--nodelet" in sys.argv else "standalone",
                   use_imu="--no-imu" not in sys.argv,
                   wall_s=round(wall, 1),
                   bag_mib=round(os.path.getsize(bag_path) / 2**20, 1),
