@@ -228,19 +228,44 @@ def main(argv=None):
         n_fed = 0
         n_imu = 0
         t0_bag = None
+        # de-skew interpolates IMU over the scan's WHOLE sweep [t, t+T], so
+        # each cloud is held until an IMU sample at >= t + T has been fed —
+        # the reference does the same with its sync'd queues (LO.cpp:155-178)
+        pending = []
+        last_imu_t = -1e18
+
+        def drain(force=False):
+            nonlocal n_fed
+            while pending and (force or not args.use_imu
+                               or pending[0][0] + cfg.scan_period
+                               <= last_imu_t):
+                trel, arr = pending.pop(0)
+                feed(arr, t=trel)
+                n_fed += 1
+                if args.max_frames and n_fed >= args.max_frames:
+                    pending.clear()
+                    return True
+            return False
+
+        stop = False
         for t, _topic, mtype, msg in read_bag_messages(args.bag, args.topic):
             t0_bag = msg.stamp if t0_bag is None else t0_bag
             if mtype == IMU_TYPE:
                 if args.use_imu:
                     # the reference's imuHandler (LO.cpp:840-881): rpy from
                     # the orientation quaternion + body-frame acceleration
-                    pipe.add_imu(msg.stamp - t0_bag, msg.rpy(), msg.lin_acc)
+                    last_imu_t = msg.stamp - t0_bag
+                    pipe.add_imu(last_imu_t, msg.rpy(), msg.lin_acc)
                     n_imu += 1
+                    stop = drain()
                 continue
-            feed(msg.array(("x", "y", "z")), t=msg.stamp - t0_bag)
-            n_fed += 1
-            if args.max_frames and n_fed >= args.max_frames:
+            pending.append((msg.stamp - t0_bag, msg.array(("x", "y", "z"))))
+            if not args.use_imu:
+                stop = drain()
+            if stop:
                 break
+        if not stop:
+            drain(force=True)
         print(f"{n_fed} PointCloud2 + {n_imu} Imu messages from {args.bag}")
     else:
         if not args.input:
