@@ -168,6 +168,18 @@ class PipelineConfig:
     icp_max_corr_dist: float = 100.0      # LM.cpp:819
     icp_iters: int = 100                  # LM.cpp:820
     icp_translation_eps: float = 1e-6     # LM.cpp:821
+    icp_yaw_hypotheses: int = 5           # multi-start loop ICP (TPU-first
+                                          # deviation): the reference aligns
+                                          # from identity in map frame
+                                          # (LM.cpp:828-836), whose basin
+                                          # fails once revisit drift carries
+                                          # real yaw.  When the identity
+                                          # attempt fails the gate, K-1
+                                          # yaw-rotated starts (vmapped — a
+                                          # batch dimension is nearly free on
+                                          # TPU) retry and the best fitness
+                                          # wins.  1 = reference behaviour.
+    icp_yaw_step_deg: float = 8.0         # hypothesis spacing (+-8, +-16 ...)
 
     # --- pose graph (LM.cpp:197-204) ---
     # The reference's gtsam variances (1e-6 rot / 1e-8..1e-6 trans,

@@ -32,7 +32,7 @@ from ..ops.voxel import voxel_downsample, voxel_downsample_exact, compact_masked
 from ..ops.eig3 import pca_line_fit, plane_fit
 from ..ops.residuals import point_to_line, point_to_plane_fitted
 from ..ops.gauss_newton import solve_gn, FULL_DIMS
-from ..ops.icp import icp_point_to_point
+from ..ops.icp import icp_point_to_point, ICPResult
 from . import pose_graph as pg
 
 
@@ -456,6 +456,44 @@ def loop_closure_step(ms: MappingState, cfg: PipelineConfig,
         res = icp_point_to_point(src, src_ok, tgt, tgt_ok, cfg.icp_iters,
                                  cfg.icp_max_corr_dist, cfg.icp_translation_eps)
         accept = res.converged & (res.fitness < cfg.history_fitness_score)
+
+        if cfg.icp_yaw_hypotheses > 1:
+            # multi-start fallback (see config.icp_yaw_hypotheses): only
+            # paid when the identity-initialised attempt fails the gate
+            def multi_start(res):
+                K = cfg.icp_yaw_hypotheses - 1
+                k = jnp.arange(1, K + 1)
+                step = jnp.deg2rad(jnp.asarray(cfg.icp_yaw_step_deg,
+                                               src.dtype))
+                yaws = jnp.where(k % 2 == 1, (k + 1) // 2,
+                                 -(k // 2)).astype(src.dtype) * step
+                nsrc = jnp.maximum(jnp.sum(src_ok), 1)
+                c = jnp.sum(jnp.where(src_ok[:, None], src, 0.0), 0) / nsrc
+
+                def T_of(yaw):
+                    cz, sz = jnp.cos(yaw), jnp.sin(yaw)
+                    R = jnp.array([[cz, -sz, 0.0], [sz, cz, 0.0],
+                                   [0.0, 0.0, 1.0]], src.dtype)
+                    T = jnp.eye(4, dtype=src.dtype)
+                    return T.at[:3, :3].set(R).at[:3, 3].set(c - R @ c)
+
+                res_k = jax.vmap(lambda yaw: icp_point_to_point(
+                    src, src_ok, tgt, tgt_ok, cfg.icp_iters,
+                    cfg.icp_max_corr_dist, cfg.icp_translation_eps,
+                    T0=T_of(yaw)))(yaws)
+                score = jnp.where(res_k.converged, res_k.fitness, jnp.inf)
+                b = jnp.argmin(score)
+                better = score[b] < res.fitness
+                return ICPResult(
+                    transform=jnp.where(better, res_k.transform[b],
+                                        res.transform),
+                    fitness=jnp.where(better, res_k.fitness[b], res.fitness),
+                    converged=jnp.where(better, res_k.converged[b],
+                                        res.converged),
+                    iters=jnp.where(better, res_k.iters[b], res.iters))
+
+            res = jax.lax.cond(accept, lambda r: r, multi_start, res)
+            accept = res.converged & (res.fitness < cfg.history_fitness_score)
 
         def close(ms):
             # t_correct = correction * pose_latest (LM.cpp:862-868)

@@ -59,3 +59,42 @@ def test_loop_detection_requires_time_gap():
     ms2 = ms._replace(kf_times=ms.kf_times.at[1].set(100.0))
     found2, closest2, _ = lm.detect_loop(ms2, cfg)
     assert bool(found2) and int(closest2) == 0
+
+
+def test_multi_start_icp_rescues_yawed_loop():
+    """Multi-start loop ICP (config.icp_yaw_hypotheses): when revisit drift
+    carries real yaw, the identity-initialised attempt (the reference's
+    LM.cpp:828-836 behaviour) falls into a bad optimum and is rejected; the
+    vmapped yaw-hypothesis fallback must recover the closure."""
+    import jax.numpy as jnp
+    from tests.test_sharded_mapping import _loop_ready_state
+    from alego_tpu.config import tiny_config
+    from alego_tpu.ops import se3
+
+    base = dict(max_keyframes=64, loop_time_gap=30.0, history_search_num=3,
+                history_fitness_score=0.1, icp_iters=40)
+    cfg1 = tiny_config(**base, icp_yaw_hypotheses=1)
+    cfgK = tiny_config(**base, icp_yaw_hypotheses=9, icp_yaw_step_deg=20.0)
+
+    ms = _loop_ready_state(cfg1)
+    # drift the LATEST keyframe pose by 75 deg yaw: its map-frame cloud now
+    # disagrees with the history cloud by a rotation far outside the
+    # identity-init ICP basin on this scene (35 deg was still inside)
+    latest = int(ms.graph.count) - 1
+    import numpy as np
+    T = np.asarray(ms.graph.poses[latest])
+    Tz = np.eye(4, dtype=np.float32)
+    yaw = np.radians(75.0)
+    Tz[:2, :2] = [[np.cos(yaw), -np.sin(yaw)], [np.sin(yaw), np.cos(yaw)]]
+    T_drift = (Tz @ T).astype(np.float32)
+    ms = ms._replace(graph=ms.graph._replace(
+        poses=ms.graph.poses.at[latest].set(jnp.asarray(T_drift))))
+
+    ms1, closed1, fit1 = lm.loop_closure_step(ms, cfg1)
+    msK, closedK, fitK = lm.loop_closure_step(ms, cfgK)
+    assert float(fitK) < 0.1, f"multi-start did not align (fitness {fitK})"
+    assert bool(closedK)
+    assert float(fitK) <= float(fit1) + 1e-6
+    # the identity-only attempt must NOT have beaten the gate on this scene
+    # (otherwise the test isn't exercising the fallback)
+    assert not bool(closed1), f"identity ICP unexpectedly aligned ({fit1})"
