@@ -459,7 +459,11 @@ def loop_closure_step(ms: MappingState, cfg: PipelineConfig,
 
         if cfg.icp_yaw_hypotheses > 1:
             # multi-start fallback (see config.icp_yaw_hypotheses): only
-            # paid when the identity-initialised attempt fails the gate
+            # paid when the identity-initialised attempt fails the gate.
+            # Hypotheses are SCREENED on a 1/4-subsampled source at half the
+            # iterations (ICP's NN cost is linear in source size), then ONE
+            # full-resolution ICP refines from the winning start — ~1.5x one
+            # attempt's cost instead of K-1x
             def multi_start(res):
                 K = cfg.icp_yaw_hypotheses - 1
                 k = jnp.arange(1, K + 1)
@@ -477,20 +481,25 @@ def loop_closure_step(ms: MappingState, cfg: PipelineConfig,
                     T = jnp.eye(4, dtype=src.dtype)
                     return T.at[:3, :3].set(R).at[:3, 3].set(c - R @ c)
 
-                res_k = jax.vmap(lambda yaw: icp_point_to_point(
-                    src, src_ok, tgt, tgt_ok, cfg.icp_iters,
+                sub_ok = src_ok & (jnp.arange(src.shape[0]) % 4 == 0)
+                scr = jax.vmap(lambda yaw: icp_point_to_point(
+                    src, sub_ok, tgt, tgt_ok, max(cfg.icp_iters // 2, 1),
                     cfg.icp_max_corr_dist, cfg.icp_translation_eps,
                     T0=T_of(yaw)))(yaws)
-                score = jnp.where(res_k.converged, res_k.fitness, jnp.inf)
+                score = jnp.where(scr.converged, scr.fitness, jnp.inf)
                 b = jnp.argmin(score)
-                better = score[b] < res.fitness
+                res_b = icp_point_to_point(
+                    src, src_ok, tgt, tgt_ok, cfg.icp_iters,
+                    cfg.icp_max_corr_dist, cfg.icp_translation_eps,
+                    T0=scr.transform[b])
+                better = res_b.converged & (res_b.fitness < res.fitness)
                 return ICPResult(
-                    transform=jnp.where(better, res_k.transform[b],
+                    transform=jnp.where(better, res_b.transform,
                                         res.transform),
-                    fitness=jnp.where(better, res_k.fitness[b], res.fitness),
-                    converged=jnp.where(better, res_k.converged[b],
+                    fitness=jnp.where(better, res_b.fitness, res.fitness),
+                    converged=jnp.where(better, res_b.converged,
                                         res.converged),
-                    iters=jnp.where(better, res_k.iters[b], res.iters))
+                    iters=jnp.where(better, res_b.iters, res.iters))
 
             res = jax.lax.cond(accept, lambda r: r, multi_start, res)
             accept = res.converged & (res.fitness < cfg.history_fitness_score)
