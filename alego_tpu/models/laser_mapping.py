@@ -481,9 +481,11 @@ def loop_closure_step(ms: MappingState, cfg: PipelineConfig,
                     T = jnp.eye(4, dtype=src.dtype)
                     return T.at[:3, :3].set(R).at[:3, 3].set(c - R @ c)
 
-                sub_ok = src_ok & (jnp.arange(src.shape[0]) % 4 == 0)
+                # STATIC 1/4 slice: a subsampling mask would save nothing
+                # (masked rows still compute under fixed shapes)
+                src_s, ok_s = src[::4], src_ok[::4]
                 scr = jax.vmap(lambda yaw: icp_point_to_point(
-                    src, sub_ok, tgt, tgt_ok, max(cfg.icp_iters // 2, 1),
+                    src_s, ok_s, tgt, tgt_ok, max(cfg.icp_iters // 2, 1),
                     cfg.icp_max_corr_dist, cfg.icp_translation_eps,
                     T0=T_of(yaw)))(yaws)
                 score = jnp.where(scr.converged, scr.fitness, jnp.inf)

@@ -125,7 +125,7 @@ def main():
     b = (cfg.max_flat + cfg.max_less_flat
          + cfg.max_sharp + cfg.max_less_sharp) * 3 * f4 * 2
     add("odometry (2-step GN)", sec, b, fl,
-        "one-shot 1-NN association + 2x masked GN; dispatch-latency-bound")
+        "3x re-associated two-step GN; dispatch-latency-bound")
 
     # --- mapping (KNN + 6-DoF GN + keyframe/ds) ----------------------------
     ms = state.mapping
@@ -145,7 +145,8 @@ def main():
     b = cfg.map_outer_iters * (qc + mc + qs + msf) * 3 * f4 * 2
     add("mapping (scan-to-map)", sec, b, fl,
         f"{cfg.map_outer_iters}x [5-NN {qc}x{mc} + {qs}x{msf} assoc "
-        "+ <=20-iter GN]; line/plane fits + gathers dominate, not flops")
+        "+ <=20-iter GN]; local-map rebuild (scatter-free voxel merge) "
+        "+ association dominate, not flops")
 
     # --- loop-closure attempt (ICP) ---------------------------------------
     # loop_closure_step on an 8-frame state takes the no-candidate lax.cond
