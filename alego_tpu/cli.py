@@ -42,6 +42,10 @@ def main(argv=None):
     ap.add_argument("--use-imu", action="store_true",
                     help="enable IMU-aided de-skew (utility.h:68) and feed "
                          "sensor_msgs/Imu messages from --bag")
+    ap.add_argument("--imu-topic", default="/imu/data",
+                    help="Imu topic inside --bag (default /imu/data, the "
+                         "reference's subscription LO.cpp:116); use '' to "
+                         "accept any single IMU stream")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="run N synthetic frames instead of real data")
     ap.add_argument("--output", default="alego_out", help="output directory")
@@ -62,6 +66,10 @@ def main(argv=None):
     ap.add_argument("--radius", type=float, default=None,
                     help="synthetic loop radius in metres (default scales "
                          "with frame count)")
+    ap.add_argument("--tf-b2l", default=None, metavar="X,Y,Z,R,P,Y",
+                    help="laser-in-base-link extrinsic (m, rad) — the "
+                         "reference's tf_b2l_ launch param (LO.cpp:591); "
+                         "trajectory poses are reported in base-link")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--save-map", action="store_true", help="export PCD map")
     ap.add_argument("--checkpoint", help="resume from a checkpoint .npz")
@@ -103,6 +111,11 @@ def main(argv=None):
         cfg = cfg.replace(history_fitness_score=args.loop_fitness)
     if args.loop_search_num is not None:
         cfg = cfg.replace(history_search_num=args.loop_search_num)
+    if args.tf_b2l:
+        vals = tuple(float(v) for v in args.tf_b2l.split(","))
+        if len(vals) != 6:
+            ap.error("--tf-b2l needs 6 comma-separated values (x,y,z,r,p,y)")
+        cfg = cfg.replace(tf_b2l=vals)
 
     pipe = SlamPipeline(cfg)
     if args.checkpoint:
@@ -239,16 +252,20 @@ def main(argv=None):
             while pending and (force or not args.use_imu
                                or pending[0][0] + cfg.scan_period
                                <= last_imu_t):
-                trel, arr = pending.pop(0)
-                feed(arr, t=trel)
-                n_fed += 1
+                # respect --max-frames BEFORE feeding: checking after the
+                # feed overshot the cap by one per call, and repeated drain()
+                # calls could walk through the whole bag
                 if args.max_frames and n_fed >= args.max_frames:
                     pending.clear()
                     return True
-            return False
+                trel, arr = pending.pop(0)
+                feed(arr, t=trel)
+                n_fed += 1
+            return args.max_frames and n_fed >= args.max_frames
 
         stop = False
-        for t, _topic, mtype, msg in read_bag_messages(args.bag, args.topic):
+        for t, _topic, mtype, msg in read_bag_messages(
+                args.bag, args.topic, imu_topic=args.imu_topic or None):
             t0_bag = msg.stamp if t0_bag is None else t0_bag
             if mtype == IMU_TYPE:
                 if args.use_imu:
@@ -257,11 +274,12 @@ def main(argv=None):
                     last_imu_t = msg.stamp - t0_bag
                     pipe.add_imu(last_imu_t, msg.rpy(), msg.lin_acc)
                     n_imu += 1
-                    stop = drain()
-                continue
-            pending.append((msg.stamp - t0_bag, msg.array(("x", "y", "z"))))
-            if not args.use_imu:
-                stop = drain()
+                    stop = stop or drain()
+            else:
+                pending.append((msg.stamp - t0_bag,
+                                msg.array(("x", "y", "z"))))
+                if not args.use_imu:
+                    stop = stop or drain()
             if stop:
                 break
         if not stop:

@@ -164,7 +164,12 @@ class PipelineConfig:
     history_search_num: int = 25          # LM.cpp:211
     history_fitness_score: float = 0.3    # LM.cpp:212
     loop_time_gap: float = 30.0           # LM.cpp:934
-    loop_every_n_keyframes: int = 2       # ~1 Hz thread at ref keyframe rates
+    loop_every_n_frames: int = 5          # attempt cadence in INPUT FRAMES:
+                                          # 5 frames x 0.2 s = the reference's
+                                          # 1 Hz loop thread (LM.cpp:785).
+                                          # Time-driven, not keyframe-parity —
+                                          # a stalled keyframe count can never
+                                          # starve loop attempts
     icp_max_corr_dist: float = 100.0      # LM.cpp:819
     icp_iters: int = 100                  # LM.cpp:820
     icp_translation_eps: float = 1e-6     # LM.cpp:821
@@ -190,6 +195,13 @@ class PipelineConfig:
     pose_graph_chain_sigma: tuple = (1e-4, 1e-4, 1e-4, 1e-4, 1e-4, 1e-4)
     pose_graph_gn_iters: int = 3   # GN converges in 2-3 (tests); each iter
                                    # is one O(N) factored chain solve
+
+    # --- base-link extrinsic (LO.cpp:591-608) ---
+    # (x, y, z, roll, pitch, yaw) of the LASER frame expressed in BASE-LINK:
+    # the reference's launch-param tf_b2l_, applied as
+    # T_odom2base = T_odom2laser @ T_b2l^-1 when publishing (LO.cpp:591).
+    # SLAM runs in the laser frame; reported trajectory poses are base-link.
+    tf_b2l: tuple = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
 
     # --- IMU / odom (utility.h:68-70, LO.cpp:737-881) ---
     use_imu: bool = False           # de-skew call is disabled in ref (LO.cpp:184)

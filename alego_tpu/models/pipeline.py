@@ -85,10 +85,13 @@ def slam_step(state: SlamState, points: jnp.ndarray, mask: jnp.ndarray,
 
     mapping = jax.lax.cond(do_map, run_mapping, lambda m: m, state.mapping)
 
-    # loop closure attempt on a keyframe cadence (1 Hz thread equivalent)
+    # loop closure attempt on a TIME cadence — the reference's 1 Hz thread
+    # (LM.cpp:779-794): every loop_every_n_frames input frames, independent
+    # of keyframe count (a keyframe-parity gate could stall forever if the
+    # count sat on the wrong residue while keyframes stopped arriving)
     if cfg.loop_closure_enabled:
-        do_loop = do_map & (mapping.graph.count > 1) & (
-            mapping.graph.count % cfg.loop_every_n_keyframes == 0)
+        do_loop = (mapping.graph.count > 1) & (
+            state.frame % cfg.loop_every_n_frames == 0)
 
         def run_loop(ms):
             ms, _, _ = lm.loop_closure_step(ms, cfg)
@@ -99,7 +102,24 @@ def slam_step(state: SlamState, points: jnp.ndarray, mask: jnp.ndarray,
     T_map2laser = mapping.T_map2odom @ T_odom2laser
     new_state = SlamState(odo=odo, mapping=mapping, frame=state.frame + 1,
                           T_odom2laser=T_odom2laser, imu=state.imu)
-    return new_state, T_map2laser
+    # base-link extrinsic: report poses in the base frame, exactly the
+    # reference's tf_o2b = tf_o2l * tf_b2l_.inverse() (LO.cpp:591); identity
+    # default folds away at trace time
+    if any(cfg.tf_b2l):
+        T_out = T_map2laser @ _tf_l2b(cfg, T_map2laser.dtype)
+    else:
+        T_out = T_map2laser
+    return new_state, T_out
+
+
+def _tf_l2b(cfg: PipelineConfig, dtype) -> jnp.ndarray:
+    """inv(T_b2l) as a trace-time constant from cfg.tf_b2l =
+    (x, y, z, roll, pitch, yaw) of the laser in base-link."""
+    from ..ops import se3
+    t = jnp.asarray(cfg.tf_b2l[:3], dtype)
+    R = se3.rpy_to_rot(jnp.asarray(cfg.tf_b2l[3:], dtype))
+    T = jnp.eye(4, dtype=dtype).at[:3, :3].set(R).at[:3, 3].set(t)
+    return se3.inv_mat(T)
 
 
 def scan_sequence(state: SlamState, points_seq, mask_seq, times, cfg):
@@ -113,17 +133,46 @@ def scan_sequence(state: SlamState, points_seq, mask_seq, times, cfg):
 
 
 class SlamPipeline:
-    """Host driver around the jitted step (stands in for the launch files)."""
+    """Host driver around the jitted step (stands in for the launch files).
 
-    def __init__(self, cfg: PipelineConfig, dtype=jnp.float32):
+    Streaming performance (the robot / bag-replay path): the round-3 profile
+    showed per-frame host<->device round-trips dominating wall time on a
+    tunneled TPU (validation ran ~0.95 fps vs the 125 fps batch headline).
+    Three fixes, all host-side:
+
+    * state buffers are DONATED to the jitted step, so XLA updates them in
+      place instead of allocating + copying the full keyframe store each
+      frame;
+    * IMU samples are buffered host-side and flushed as ONE chunked device
+      call per scan (``ops/deskew.integrate_imu_chunk``) instead of one
+      dispatch per 40 Hz message;
+    * per-frame outputs stay on device (JAX async dispatch keeps a window of
+      steps in flight); the only forced syncs are the capacity check every
+      ``_sync_every`` frames — results materialise when the caller reads
+      ``poses``.
+    """
+
+    _IMU_CHUNK = 64       # >= samples per scan at 40 Hz IMU / 5 Hz lidar
+    _sync_every = 16
+
+    def __init__(self, cfg: PipelineConfig, dtype=jnp.float32,
+                 collect_odom_poses: bool = False):
         self.cfg = cfg
         self._dtype = dtype
-        self._step = jax.jit(lambda st, p, m, t: slam_step(st, p, m, t, cfg))
+        # debug-only: per-frame T_odom2laser collection forces a host sync
+        # (the state leaf is donated next step, so it must be materialised
+        # NOW) — off by default to keep the dispatch window full
+        self._collect_odom = collect_odom_poses
+        self._step = jax.jit(lambda st, p, m, t: slam_step(st, p, m, t, cfg),
+                             donate_argnums=0)
         self._imu_step = jax.jit(deskew.integrate_imu)
-        self._compact = jax.jit(lambda ms: lm.compact_keyframes(ms, cfg))
+        self._imu_flush = jax.jit(deskew.integrate_imu_chunk, donate_argnums=0)
+        self._compact = jax.jit(lambda ms: lm.compact_keyframes(ms, cfg),
+                                donate_argnums=0)
         self.state = init_state(cfg, dtype)
         self.poses = []
         self.odom_poses = []
+        self._imu_pending = []
         self._frame = 0
         self._overflow_warned = False
         self.compactions = 0
@@ -160,16 +209,33 @@ class SlamPipeline:
         self.state = init_state(self.cfg, self._dtype)
         self.poses = []
         self.odom_poses = []
+        self._imu_pending = []
         self._frame = 0
         self._overflow_warned = False
         self.compactions = 0
 
     def add_imu(self, t: float, rpy, lin_acc):
-        """Feed one IMU sample (the /imu/data handler, LO.cpp:840-881)."""
-        buf = self._imu_step(self.state.imu, jnp.float32(t),
-                             jnp.asarray(rpy, jnp.float32),
-                             jnp.asarray(lin_acc, jnp.float32))
-        self.state = self.state._replace(imu=buf)
+        """Feed one IMU sample (the /imu/data handler, LO.cpp:840-881).
+
+        Samples queue host-side; the integration runs as one chunked device
+        call per scan (see class docstring)."""
+        self._imu_pending.append((float(t), np.asarray(rpy, np.float32),
+                                  np.asarray(lin_acc, np.float32)))
+
+    def _flush_imu(self):
+        C = self._IMU_CHUNK
+        while self._imu_pending:
+            batch, self._imu_pending = (self._imu_pending[:C],
+                                        self._imu_pending[C:])
+            ts = np.full(C, 1e18, np.float32)
+            rpys = np.zeros((C, 3), np.float32)
+            accs = np.zeros((C, 3), np.float32)
+            for i, (t, r, a) in enumerate(batch):
+                ts[i], rpys[i], accs[i] = t, r, a
+            buf = self._imu_flush(self.state.imu, jnp.asarray(ts),
+                                  jnp.asarray(rpys), jnp.asarray(accs),
+                                  jnp.int32(len(batch)))
+            self.state = self.state._replace(imu=buf)
 
     def add_odom(self, t: float, rpy, pos, velo=(0.0, 0.0, 0.0)):
         """Feed one external-odometry sample (the ``use_odom`` input path,
@@ -183,21 +249,26 @@ class SlamPipeline:
         self.state = self.state._replace(imu=buf)
 
     def process(self, points: np.ndarray, mask: np.ndarray,
-                time: Optional[float] = None) -> np.ndarray:
-        """Feed one scan; returns the map-frame pose [4, 4]."""
+                time: Optional[float] = None):
+        """Feed one scan; returns the map-frame pose [4, 4] (device array —
+        dispatch is asynchronous; ``np.asarray`` it to force the value)."""
+        if self._imu_pending:
+            self._flush_imu()
         t = self._frame * self.cfg.scan_period if time is None else time
         self.state, pose = self._step(
             self.state, jnp.asarray(points), jnp.asarray(mask),
             jnp.asarray(t, jnp.float32))
         self._frame += 1
-        pose_np = np.asarray(pose)
-        self.poses.append(pose_np)
-        self.odom_poses.append(np.asarray(self.state.T_odom2laser))
-        if self._frame % 16 == 0:
+        self.poses.append(pose)
+        if self._collect_odom:
+            self.odom_poses.append(np.asarray(self.state.T_odom2laser))
+        if self._frame % self._sync_every == 0:
+            # bounded in-flight window: the int() read inside the capacity
+            # check forces one sync per window
             self._maybe_compact()
         if self._frame % 128 == 0:
             self._check_overflow()
-        return pose_np
+        return pose
 
     def run(self, points_seq: np.ndarray, mask_seq: np.ndarray) -> np.ndarray:
         for k in range(points_seq.shape[0]):
@@ -217,7 +288,8 @@ class SlamPipeline:
         if not hasattr(self, "_scan"):
             cfg = self.cfg
             self._scan = jax.jit(
-                lambda st, p, m, t: scan_sequence(st, p, m, t, cfg))
+                lambda st, p, m, t: scan_sequence(st, p, m, t, cfg),
+                donate_argnums=0)
         self.state, est = self._scan(
             self.state, jnp.asarray(points_seq), jnp.asarray(mask_seq), times)
         est = np.asarray(est)

@@ -68,9 +68,13 @@ class PoseGraph(NamedTuple):
 
 
 def init_graph(max_kf: int, max_loops: int, dtype=jnp.float32) -> PoseGraph:
-    I = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (max_kf, 4, 4))
+    def eye_stack():
+        # materialised per-field: sharing ONE array object between two pytree
+        # leaves breaks buffer donation (same buffer donated twice)
+        return jnp.tile(jnp.eye(4, dtype=dtype), (max_kf, 1, 1))
+
     return PoseGraph(
-        poses=I, chain_rel=I,
+        poses=eye_stack(), chain_rel=eye_stack(),
         loop_i=jnp.zeros(max_loops, jnp.int32),
         loop_j=jnp.zeros(max_loops, jnp.int32),
         loop_rel=jnp.broadcast_to(jnp.eye(4, dtype=dtype), (max_loops, 4, 4)),

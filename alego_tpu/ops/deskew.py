@@ -71,6 +71,26 @@ def integrate_imu(buf: ImuBuffer, t, rpy, lin_acc) -> ImuBuffer:
     )
 
 
+def integrate_imu_chunk(buf: ImuBuffer, ts, rpys, accs, n) -> ImuBuffer:
+    """Append ``n`` samples from fixed-size arrays (ts [C], rpys [C, 3],
+    accs [C, 3]) in one device call.
+
+    The streaming driver buffers IMU messages host-side and flushes them
+    here once per scan: at 40 Hz IMU / 5 Hz scans the per-sample
+    :func:`integrate_imu` dispatch cost 8 device round-trips per frame —
+    on a tunneled TPU that alone dominated bag-replay wall time
+    (benchmarks/validation_run.json r3: 0.95 fps).  The integration itself
+    is inherently sequential (velocity/shift accumulate), so a tiny
+    ``fori_loop`` over the chunk runs on-device."""
+    def body(i, b):
+        return jax.lax.cond(
+            i < n,
+            lambda b: integrate_imu(b, ts[i], rpys[i], accs[i]),
+            lambda b: b, b)
+
+    return jax.lax.fori_loop(0, ts.shape[0], body, buf)
+
+
 def integrate_odom(buf: ImuBuffer, t, rpy, pos, velo) -> ImuBuffer:
     """Append an external-odometry sample (the ``use_odom`` input path,
     LO.cpp:737-795): pose and velocity come from the message instead of

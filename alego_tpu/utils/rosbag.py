@@ -178,11 +178,16 @@ def _decompress(compression: str, data: bytes, size: int) -> bytes:
 
 def read_bag_messages(path: str, topic: Optional[str] = None,
                       types: Tuple[str, ...] = (PC2_TYPE, IMU_TYPE),
+                      imu_topic: Optional[str] = "/imu/data",
                       ) -> Iterator[Tuple[float, str, str, object]]:
     """Yield (record_time_s, topic, type, msg) for every message of a
     supported type (PointCloud2 / Imu) in file order; ``topic`` filters
-    PointCloud2 topics only (IMU always passes, as `rosbag play --topics`
-    users typically keep /imu/data).  Streams chunk-by-chunk."""
+    PointCloud2 topics, ``imu_topic`` filters Imu topics (default
+    ``/imu/data`` — the reference's subscription, LO.cpp:116; a bag with
+    several IMU streams, e.g. /imu/raw + /imu/data, must not interleave
+    conflicting orientations into the de-skew buffer).  Pass
+    ``imu_topic=None`` to accept any single IMU stream.  Streams
+    chunk-by-chunk."""
     conns = {}          # conn id -> (topic, type)
 
     def handle(records):
@@ -199,6 +204,8 @@ def read_bag_messages(path: str, topic: Optional[str] = None,
                 if ctype not in types:
                     continue
                 if ctype == PC2_TYPE and topic and ctopic != topic:
+                    continue
+                if ctype == IMU_TYPE and imu_topic and ctopic != imu_topic:
                     continue
                 secs, nsecs = struct.unpack("<II", h["time"])
                 msg = (PointCloud2(data) if ctype == PC2_TYPE

@@ -43,7 +43,7 @@ def test_mapping_improves_on_odometry():
     poses = synthetic.loop_trajectory(n, radius=25.0, speed=1.2, closed=False)
     pts, mask = synthetic.render_sequence(world, poses, cfg, noise=0.02)
 
-    pipe = SlamPipeline(cfg)
+    pipe = SlamPipeline(cfg, collect_odom_poses=True)
     est = pipe.run(pts, mask)
     odom = np.stack(pipe.odom_poses)
 
