@@ -173,18 +173,64 @@ class PipelineConfig:
     icp_max_corr_dist: float = 100.0      # LM.cpp:819
     icp_iters: int = 100                  # LM.cpp:820
     icp_translation_eps: float = 1e-6     # LM.cpp:821
-    icp_yaw_hypotheses: int = 5           # multi-start loop ICP (TPU-first
-                                          # deviation): the reference aligns
-                                          # from identity in map frame
-                                          # (LM.cpp:828-836), whose basin
-                                          # fails once revisit drift carries
-                                          # real yaw.  When the identity
-                                          # attempt fails the gate, K-1
-                                          # yaw-rotated starts (vmapped — a
-                                          # batch dimension is nearly free on
-                                          # TPU) retry and the best fitness
-                                          # wins.  1 = reference behaviour.
-    icp_yaw_step_deg: float = 8.0         # hypothesis spacing (+-8, +-16 ...)
+
+    # Drift-aware candidate search (TPU-first deviation; no ref counterpart).
+    # The reference searches keyposes at a FIXED 10 m radius (LM.cpp:210,927)
+    # — but the whole point of loop closure is rescuing accumulated drift,
+    # which grows with path length; at 2-3% odometry drift a 300 m revisit
+    # arrives ~9 m off and sits at the fixed radius's edge.  The effective
+    # radius grows with the chain path length between candidate and latest:
+    #     r_eff(i) = history_search_radius + frac * path(i -> latest)
+    loop_drift_radius_frac: float = 0.05
+
+    # Coarse loop alignment (ops/bev_align): when the identity-initialised
+    # ICP (the reference's LM.cpp:828-836 behaviour) fails the gate, a
+    # bird's-eye structure-grid correlation recovers (yaw, dx, dy, dz)
+    # globally — basin ~ +-half the grid vs ICP's couple of metres — and one
+    # full ICP refines from it.  Replaces the round-3 yaw-only multi-start
+    # (which fixed rotation basins but not the 9 m translation drift the
+    # validation circuit showed).  False by the reference's book, on for
+    # production: without it loop closure demonstrably never fires under
+    # realistic revisit drift (benchmarks/validation_run.json r3).
+    loop_coarse_align: bool = True
+    loop_bev_grid: int = 96               # cells; extent = grid * res
+    loop_bev_res: float = 1.0             # m / cell
+    loop_bev_yaws: int = 36               # 10 deg steps; ICP absorbs the rest
+
+    # Density-normalised acceptance (replaces the raw mean-squared-NN gate
+    # when loop_min_inlier_frac > 0).  The reference accepts on
+    # getFitnessScore() < 0.3 (LM.cpp:842) — a RAW mean over all source
+    # points, whose value scales with point density AND collapses under
+    # partial overlap (non-overlapping far points dominate the mean: the
+    # round-3 validation attempts bottomed at 1.4 with visually plausible
+    # alignments).  Normalised gate, computed over STRUCTURE points (>0.4 m
+    # above the cloud's own ground — ground matches anywhere and would
+    # inflate the score): a fraction >= loop_min_inlier_frac must find a
+    # neighbour within loop_inlier_radius and their RMS must beat
+    # loop_inlier_rmse.  Calibration (laser_mapping._loop_acceptance):
+    # correct alignments measure frac ~0.8-0.9 / RMS ~0.35; 3 m-misaligned
+    # ones ~0.2-0.3 / ~0.65; a single-wall symmetry ALIAS (one of two walls
+    # matches perfectly, the other not at all) measures ~0.57 — the gate
+    # must sit above the one-major-surface alias band.  Set
+    # loop_min_inlier_frac = 0 for reference behaviour (the raw gate).
+    loop_min_inlier_frac: float = 0.70
+    loop_inlier_radius: float = 1.0       # m
+    loop_inlier_rmse: float = 0.5         # m RMS over structure inliers
+
+    # Consistency gates (no ref counterpart): a loop correction larger than
+    # the plausible accumulated drift is a false match by construction.
+    #   |t_correction| <= abs + frac * path(closest -> latest)
+    # After the pose-graph solve, the recent chain must not bend beyond
+    # loop_chain_bend_max per link (translation) or the factor is rolled
+    # back.  Zero disables a gate.
+    loop_max_correction_abs: float = 2.0
+    loop_max_correction_frac: float = 0.15
+    loop_chain_bend_max: float = 1.0      # m per chain link post-solve
+    loop_chain_bend_max_rot_deg: float = 6.0  # deg per link post-solve (the
+                                          # chain absorbs endpoint corrections
+                                          # mostly via per-link yaw — the
+                                          # lever arm — so rotation is the
+                                          # binding check)
 
     # --- pose graph (LM.cpp:197-204) ---
     # The reference's gtsam variances (1e-6 rot / 1e-8..1e-6 trans,

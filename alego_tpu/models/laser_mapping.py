@@ -50,6 +50,7 @@ class MappingState(NamedTuple):
     last_loop_kf: jnp.ndarray    # int32: keyframe index of last loop attempt
     loop_attempts: jnp.ndarray   # int32: ICP attempts run (diagnostics)
     loop_best_fitness: jnp.ndarray  # float: min ICP fitness seen (diagnostics)
+    loop_best_inlier: jnp.ndarray   # float: max inlier fraction seen
     # cached voxel-merged local map (the reference caches transformed
     # keyframe clouds in its deque, LM.cpp:361-388); dirty on keyframe/loop
     map_corner: jnp.ndarray      # [map_corner_cap, 3]
@@ -78,6 +79,7 @@ def init_state(cfg: PipelineConfig, dtype=jnp.float32) -> MappingState:
         last_loop_kf=jnp.int32(-1),
         loop_attempts=jnp.int32(0),
         loop_best_fitness=jnp.asarray(jnp.inf, dtype),
+        loop_best_inlier=jnp.asarray(0.0, dtype),
         map_corner=jnp.zeros((cfg.map_corner_cap, 3), dtype),
         map_corner_valid=jnp.zeros(cfg.map_corner_cap, bool),
         map_surf=jnp.zeros((cfg.map_surf_cap, 3), dtype),
@@ -385,6 +387,57 @@ def compact_keyframes(ms: MappingState, cfg: PipelineConfig) -> MappingState:
 # Loop closure (LM.cpp:779-975)
 # ---------------------------------------------------------------------------
 
+def _loop_acceptance(res: ICPResult, src, src_ok, tgt, tgt_ok,
+                     cfg: PipelineConfig):
+    """(accept, factor_weight, inlier_frac) for an ICP result.
+
+    Reference mode (``loop_min_inlier_frac == 0``): raw
+    ``getFitnessScore() < history_fitness_score`` (LM.cpp:842) — a mean
+    squared NN distance over ALL source points, which scales with point
+    density and collapses under partial overlap.
+
+    Normalised mode (default): the gate counts STRUCTURE points only —
+    height above the source cloud's own ground level > 0.4 m.  Ground
+    returns match ground anywhere (a 3 m-misaligned attempt still scored
+    0.44 all-point inlier fraction in calibration), while walls/poles are
+    alignment-sensitive: measured on the tiny golden scene, structure
+    inlier fraction at r=1 m is 0.90 for the correct alignment vs 0.18
+    misaligned by 3 m (0.30 after ICP polished the wrong basin).  A
+    fraction >= ``loop_min_inlier_frac`` of structure points must land
+    within ``loop_inlier_radius`` of the history cloud AND their RMS must
+    beat ``loop_inlier_rmse`` — both density- and overlap-invariant, so
+    one calibration holds across sensor configs (the r3 raw gate had to
+    move 0.3 -> 0.5 between configs)."""
+    if cfg.loop_min_inlier_frac <= 0.0:
+        accept = res.converged & (res.fitness < cfg.history_fitness_score)
+        weight = 1.0 / jnp.maximum(res.fitness, 1e-3)
+        return accept, weight, jnp.asarray(0.0, src.dtype)
+
+    from ..ops.bev_align import _ground_z
+    moved = src @ res.transform[:3, :3].T + res.transform[:3, 3]
+    # structure-to-STRUCTURE matching: restricting the target too is what
+    # makes the gate sharp — low wall points otherwise "match" the dense
+    # ground lattice anywhere (measured: an 87 deg-wrong alignment still
+    # scored 0.79 structure inlier fraction against an unfiltered target)
+    tgt_struct = tgt_ok & (tgt[:, 2] - _ground_z(tgt, tgt_ok) > 0.4)
+    d2, _ = knn(moved, src_ok, tgt, tgt_struct, 1, chunk=cfg.knn_chunk)
+    d2 = d2[:, 0]
+    struct = src_ok & (src[:, 2] - _ground_z(src, src_ok) > 0.4)
+    inl = struct & (d2 < cfg.loop_inlier_radius ** 2)
+    n_str = jnp.maximum(jnp.sum(struct), 1)
+    n_inl = jnp.sum(inl)
+    frac = n_inl.astype(src.dtype) / n_str.astype(src.dtype)
+    ms_inl = (jnp.sum(jnp.where(inl, d2, 0.0))
+              / jnp.maximum(n_inl, 1).astype(src.dtype))
+    # a cloud with (almost) no structure is unverifiable: reject (the
+    # all-ground degenerate case would otherwise accept anything)
+    enough_struct = jnp.sum(struct) >= 32
+    accept = (res.converged & enough_struct
+              & (frac >= cfg.loop_min_inlier_frac)
+              & (ms_inl <= cfg.loop_inlier_rmse ** 2))
+    weight = 1.0 / jnp.maximum(ms_inl, 1e-3)
+    return accept, weight, frac
+
 def _keyframe_cloud(ms: MappingState, k, pose, cap, cfg, leaf=None):
     """All three feature clouds of keyframe k, transformed by ``pose``."""
     pts = jnp.concatenate([ms.kf_corner[k], ms.kf_surf[k], ms.kf_outlier[k]], 0)
@@ -396,8 +449,27 @@ def _keyframe_cloud(ms: MappingState, k, pose, cap, cfg, leaf=None):
     return voxel_downsample(moved, val, leaf, cap)
 
 
+def _chain_path_to_latest(ms: MappingState, latest, cfg: PipelineConfig):
+    """Path length along the odometry chain from each keyframe to the
+    latest one: cumulative sum of between-measurement translations.
+    (chain_rel[0] is the node-0 prior, not a step.)"""
+    idx = jnp.arange(cfg.max_keyframes)
+    step = jnp.linalg.norm(ms.graph.chain_rel[:, :3, 3], axis=-1)
+    step = jnp.where((idx > 0) & (idx < ms.graph.count), step, 0.0)
+    cum = jnp.cumsum(step)
+    return jnp.maximum(cum[jnp.maximum(latest, 0)] - cum, 0.0)
+
+
 def detect_loop(ms: MappingState, cfg: PipelineConfig):
-    """Nearest keypose within radius and >30 s older (LM.cpp:909-943)."""
+    """Drift-aware candidate search.
+
+    The reference radius-searches keyposes at a FIXED 10 m
+    (LM.cpp:909-943); accumulated drift grows with path length, so the
+    effective radius here is ``history_search_radius +
+    loop_drift_radius_frac * path(i -> latest)`` and candidates rank by
+    drift-normalised distance d2 / r_eff^2 (a 300 m revisit at 3% drift
+    appears ~9 m off — past the fixed radius, well inside the scaled one).
+    >30 s age gate as in the reference (LM.cpp:934)."""
     latest = ms.graph.count - 1
     cur_t = ms.graph.poses[latest][:3, 3]
     kp = ms.graph.poses[:, :3, 3]
@@ -405,8 +477,12 @@ def detect_loop(ms: MappingState, cfg: PipelineConfig):
     act = (idx < latest) & (latest >= 0)
     d2 = jnp.sum((kp - cur_t) ** 2, -1)
     old_enough = (ms.kf_times[latest] - ms.kf_times) > cfg.loop_time_gap
-    elig = act & old_enough & (d2 < cfg.history_search_radius ** 2)
-    closest = jnp.argmin(jnp.where(elig, d2, 1e30)).astype(jnp.int32)
+    r_eff = (cfg.history_search_radius
+             + cfg.loop_drift_radius_frac * _chain_path_to_latest(
+                 ms, latest, cfg))
+    score = d2 / (r_eff * r_eff)
+    elig = act & old_enough & (score < 1.0)
+    closest = jnp.argmin(jnp.where(elig, score, 1e30)).astype(jnp.int32)
     return elig.any(), closest, latest
 
 
@@ -455,62 +531,54 @@ def loop_closure_step(ms: MappingState, cfg: PipelineConfig,
 
         res = icp_point_to_point(src, src_ok, tgt, tgt_ok, cfg.icp_iters,
                                  cfg.icp_max_corr_dist, cfg.icp_translation_eps)
-        accept = res.converged & (res.fitness < cfg.history_fitness_score)
+        accept, _, _ = _loop_acceptance(res, src, src_ok, tgt, tgt_ok, cfg)
 
-        if cfg.icp_yaw_hypotheses > 1:
-            # multi-start fallback (see config.icp_yaw_hypotheses): only
-            # paid when the identity-initialised attempt fails the gate.
-            # Hypotheses are SCREENED on a 1/4-subsampled source at half the
-            # iterations (ICP's NN cost is linear in source size), then ONE
-            # full-resolution ICP refines from the winning start — ~1.5x one
-            # attempt's cost instead of K-1x
-            def multi_start(res):
-                K = cfg.icp_yaw_hypotheses - 1
-                k = jnp.arange(1, K + 1)
-                step = jnp.deg2rad(jnp.asarray(cfg.icp_yaw_step_deg,
-                                               src.dtype))
-                yaws = jnp.where(k % 2 == 1, (k + 1) // 2,
-                                 -(k // 2)).astype(src.dtype) * step
-                nsrc = jnp.maximum(jnp.sum(src_ok), 1)
-                c = jnp.sum(jnp.where(src_ok[:, None], src, 0.0), 0) / nsrc
-
-                def T_of(yaw):
-                    cz, sz = jnp.cos(yaw), jnp.sin(yaw)
-                    R = jnp.array([[cz, -sz, 0.0], [sz, cz, 0.0],
-                                   [0.0, 0.0, 1.0]], src.dtype)
-                    T = jnp.eye(4, dtype=src.dtype)
-                    return T.at[:3, :3].set(R).at[:3, 3].set(c - R @ c)
-
-                # STATIC 1/4 slice: a subsampling mask would save nothing
-                # (masked rows still compute under fixed shapes)
-                src_s, ok_s = src[::4], src_ok[::4]
-                scr = jax.vmap(lambda yaw: icp_point_to_point(
-                    src_s, ok_s, tgt, tgt_ok, max(cfg.icp_iters // 2, 1),
-                    cfg.icp_max_corr_dist, cfg.icp_translation_eps,
-                    T0=T_of(yaw)))(yaws)
-                score = jnp.where(scr.converged, scr.fitness, jnp.inf)
-                b = jnp.argmin(score)
+        if cfg.loop_coarse_align:
+            # wide-basin rescue (ops/bev_align): only paid when the
+            # identity-initialised attempt fails the gate.  A bird's-eye
+            # structure-grid correlation recovers (yaw, dx, dy, dz) globally
+            # — covering BOTH the translation drift the round-3 validation
+            # showed (9 m, outside any point-to-point basin) and the yaw
+            # drift the old multi-start handled — then one full ICP refines.
+            def rescue(res):
+                from ..ops.bev_align import bev_align
+                ba = bev_align(src, src_ok, tgt, tgt_ok,
+                               pose_latest[:2, 3],
+                               ms.graph.poses[closest][:2, 3],
+                               grid=cfg.loop_bev_grid, res=cfg.loop_bev_res,
+                               n_yaw=cfg.loop_bev_yaws)
                 res_b = icp_point_to_point(
                     src, src_ok, tgt, tgt_ok, cfg.icp_iters,
                     cfg.icp_max_corr_dist, cfg.icp_translation_eps,
-                    T0=scr.transform[b])
+                    T0=ba.transform)
                 better = res_b.converged & (res_b.fitness < res.fitness)
-                return ICPResult(
-                    transform=jnp.where(better, res_b.transform,
-                                        res.transform),
-                    fitness=jnp.where(better, res_b.fitness, res.fitness),
-                    converged=jnp.where(better, res_b.converged,
-                                        res.converged),
-                    iters=jnp.where(better, res_b.iters, res.iters))
+                pick = lambda a, b: jnp.where(better, a, b)  # noqa: E731
+                return ICPResult(transform=pick(res_b.transform, res.transform),
+                                 fitness=pick(res_b.fitness, res.fitness),
+                                 converged=pick(res_b.converged, res.converged),
+                                 iters=pick(res_b.iters, res.iters))
 
-            res = jax.lax.cond(accept, lambda r: r, multi_start, res)
-            accept = res.converged & (res.fitness < cfg.history_fitness_score)
+            res = jax.lax.cond(accept, lambda r: r, rescue, res)
+            accept, _, _ = _loop_acceptance(res, src, src_ok, tgt, tgt_ok,
+                                            cfg)
+        _, weight, inlier_frac = _loop_acceptance(res, src, src_ok, tgt,
+                                                  tgt_ok, cfg)
+
+        # consistency gate 1 (pre-solve): the correction displaces the
+        # latest pose by at most the plausible accumulated drift — a larger
+        # "correction" is a false match (wrong street / aliased geometry)
+        if cfg.loop_max_correction_abs > 0:
+            path_cl = _chain_path_to_latest(ms, latest, cfg)[closest]
+            disp = jnp.linalg.norm((res.transform @ pose_latest)[:3, 3]
+                                   - pose_latest[:3, 3])
+            budget = (cfg.loop_max_correction_abs
+                      + cfg.loop_max_correction_frac * path_cl)
+            accept = accept & (disp <= budget)
 
         def close(ms):
             # t_correct = correction * pose_latest (LM.cpp:862-868)
             T_corrected = res.transform @ pose_latest
             rel = se3.inv_mat(T_corrected) @ ms.graph.poses[closest]
-            weight = 1.0 / jnp.maximum(res.fitness, 1e-3)
             g = pg.add_loop_factor(ms.graph, latest, closest, rel, weight)
             # factored O(N) GN (ops/chain_solver): the full relinearised
             # solve runs here, where the reference spends its iSAM2 update
@@ -523,22 +591,53 @@ def loop_closure_step(ms: MappingState, cfg: PipelineConfig,
             # correctPoses map2odom rebase (LM.cpp:725-726); keyframe poses
             # moved -> cached local map is stale
             T_m2o = res.transform @ ms.T_map2odom
-            return ms._replace(graph=g, T_map2odom=T_m2o,
-                               T_map2laser=g.poses[latest],
-                               map_dirty=jnp.bool_(True))
+            new_ms = ms._replace(graph=g, T_map2odom=T_m2o,
+                                 T_map2laser=g.poses[latest],
+                                 map_dirty=jnp.bool_(True))
+            # consistency gate 2 (post-solve): the solve must not bend any
+            # chain link beyond its odometry covariance's plausible range —
+            # a factor the chain "refuses" to absorb is rolled back.  Both
+            # translation AND rotation residuals are checked: the chain
+            # absorbs a large endpoint correction through tiny per-link YAW
+            # bends (lever arm), so a translation-only check misses it
+            if cfg.loop_chain_bend_max > 0:
+                idx = jnp.arange(cfg.max_keyframes)
+                prev = g.poses[jnp.maximum(idx - 1, 0)]
+                E = jax.vmap(lambda a, b, z: se3.inv_mat(z)
+                             @ se3.inv_mat(a) @ b)(prev, g.poses, g.chain_rel)
+                link = (idx > 0) & (idx < g.count)
+                bend_t = jnp.linalg.norm(E[:, :3, 3], axis=-1)
+                cos_r = (jnp.einsum("nii->n", E[:, :3, :3]) - 1.0) * 0.5
+                bend_r = jnp.arccos(jnp.clip(cos_r, -1.0, 1.0))
+                rot_max = jnp.deg2rad(jnp.asarray(
+                    cfg.loop_chain_bend_max_rot_deg, bend_r.dtype))
+                ok_bend = (
+                    (jnp.max(jnp.where(link, bend_t, 0.0))
+                     <= cfg.loop_chain_bend_max)
+                    & (jnp.max(jnp.where(link, bend_r, 0.0)) <= rot_max))
+                new_ms = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(ok_bend, a, b), new_ms, ms)
+                return new_ms, accept & ok_bend
+            return new_ms, accept
 
-        ms = jax.lax.cond(accept, close, lambda m: m, ms)
-        return ms, accept, res.fitness
+        ms, committed = jax.lax.cond(
+            accept, close, lambda m: (m, jnp.bool_(False)), ms)
+        return ms, committed, res.fitness, inlier_frac
 
     def skip(ms):
-        return ms, jnp.bool_(False), jnp.asarray(1e9, ms.T_map2odom.dtype)
+        dt = ms.T_map2odom.dtype
+        return (ms, jnp.bool_(False), jnp.asarray(1e9, dt),
+                jnp.asarray(0.0, dt))
 
     do = found & (latest != ms.last_loop_kf) & (ms.graph.count > 1)
-    ms, closed, fitness = jax.lax.cond(do, attempt, skip, ms)
+    ms, closed, fitness, inlier = jax.lax.cond(do, attempt, skip, ms)
     ms = ms._replace(
         last_loop_kf=jnp.where(do, latest, ms.last_loop_kf),
         loop_attempts=ms.loop_attempts + do.astype(jnp.int32),
         loop_best_fitness=jnp.where(
             do, jnp.minimum(ms.loop_best_fitness, fitness),
-            ms.loop_best_fitness))
+            ms.loop_best_fitness),
+        loop_best_inlier=jnp.where(
+            do, jnp.maximum(ms.loop_best_inlier, inlier),
+            ms.loop_best_inlier))
     return ms, closed, fitness

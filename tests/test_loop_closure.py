@@ -61,11 +61,11 @@ def test_loop_detection_requires_time_gap():
     assert bool(found2) and int(closest2) == 0
 
 
-def test_multi_start_icp_rescues_yawed_loop():
-    """Multi-start loop ICP (config.icp_yaw_hypotheses): when revisit drift
+def test_coarse_align_rescues_yawed_loop():
+    """Coarse BEV alignment (config.loop_coarse_align): when revisit drift
     carries real yaw, the identity-initialised attempt (the reference's
     LM.cpp:828-836 behaviour) falls into a bad optimum and is rejected; the
-    vmapped yaw-hypothesis fallback must recover the closure."""
+    bird's-eye correlation rescue must recover the closure."""
     import jax.numpy as jnp
     from tests.test_sharded_mapping import _loop_ready_state
     from alego_tpu.config import tiny_config
@@ -73,8 +73,8 @@ def test_multi_start_icp_rescues_yawed_loop():
 
     base = dict(max_keyframes=64, loop_time_gap=30.0, history_search_num=3,
                 history_fitness_score=0.1, icp_iters=40)
-    cfg1 = tiny_config(**base, icp_yaw_hypotheses=1)
-    cfgK = tiny_config(**base, icp_yaw_hypotheses=9, icp_yaw_step_deg=20.0)
+    cfg1 = tiny_config(**base, loop_coarse_align=False)
+    cfgK = tiny_config(**base, loop_coarse_align=True)
 
     ms = _loop_ready_state(cfg1)
     # drift the LATEST keyframe pose by 75 deg yaw: its map-frame cloud now
