@@ -71,6 +71,13 @@ def main(argv=None):
                          "reference's tf_b2l_ launch param (LO.cpp:591); "
                          "trajectory poses are reported in base-link")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--chunk", type=int, default=16, metavar="C",
+                    help="streaming dispatch window for --bag/--input: C "
+                         "buffered scans go to the device as ONE lax.scan "
+                         "call (latency bound C x scan_period; C=16 is 3.2 s "
+                         "at 5 Hz).  Per-frame dispatch on a tunneled TPU "
+                         "pays a ~0.5 s host round-trip per scan (round-3 "
+                         "validation ran 1.2 fps); 0 disables chunking")
     ap.add_argument("--save-map", action="store_true", help="export PCD map")
     ap.add_argument("--checkpoint", help="resume from a checkpoint .npz")
     ap.add_argument("--dump-debug", action="store_true",
@@ -90,6 +97,14 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import numpy as np
+    # persistent compilation cache: repeat CLI runs (same config/geometry)
+    # skip the large first compile.  Env-var alone is honoured for writes;
+    # set the config explicitly so loads work in every launch context.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if cache_dir:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from .config import PipelineConfig, tiny_config, nodelet_config
     from .models.pipeline import SlamPipeline
     from .utils.profiling import StageTimer
@@ -138,6 +153,32 @@ def main(argv=None):
         pio.write_pcd(os.path.join(sdir, f"surround_{k:06d}.pcd"), cloud)
         np.save(os.path.join(sdir, f"pose_{k:06d}.npy"), pipe.poses[-1])
 
+    # chunked streaming (see --chunk): scans buffer host-side and go to the
+    # device as one lax.scan window — bounded latency, one dispatch per C
+    # frames instead of one (tunnel round-trip) per frame
+    chunk = max(0, args.chunk)
+    ready_pts, ready_msk, ready_t = [], [], []
+
+    def _dispatch(C):
+        pts = np.stack(ready_pts[:C])
+        msk = np.stack(ready_msk[:C])
+        ts = np.asarray([
+            pipe._frame * cfg.scan_period + i * cfg.scan_period
+            if t is None else t
+            for i, t in enumerate(ready_t[:C])], np.float32)
+        del ready_pts[:C], ready_msk[:C], ready_t[:C]
+        with timer.stage("slam_chunk"):
+            pipe.run_scanned(pts, msk, times=ts)
+        maybe_dump_surround()
+
+    def flush_chunks(force=False):
+        while chunk >= 2 and len(ready_pts) >= chunk:
+            _dispatch(chunk)
+        if force and ready_pts:
+            # tail shorter than a chunk: one extra scan program at its
+            # natural length (still a single dispatch)
+            _dispatch(len(ready_pts))
+
     def feed(points4, t=None):
         pts = points4[:, :3].astype(np.float32)
         good = np.isfinite(pts).all(-1)
@@ -149,6 +190,12 @@ def main(argv=None):
         msk[:n] = True
         if dump_first:
             dump_first.pop()(pad, msk)
+        if chunk >= 2:
+            ready_pts.append(pad)
+            ready_msk.append(msk)
+            ready_t.append(t)
+            flush_chunks()
+            return None
         with timer.stage("slam_step"):
             out = pipe.process(pad, msk, time=t)
         maybe_dump_surround()
@@ -284,6 +331,7 @@ def main(argv=None):
                 break
         if not stop:
             drain(force=True)
+        flush_chunks(force=True)
         print(f"{n_fed} PointCloud2 + {n_imu} Imu messages from {args.bag}")
     else:
         if not args.input:
@@ -300,6 +348,7 @@ def main(argv=None):
         for frame in loader:
             feed(frame)
         loader.close()
+        flush_chunks(force=True)
 
     n = len(pipe.poses)
     wall = time.time() - t_start

@@ -579,7 +579,44 @@ def loop_closure_step(ms: MappingState, cfg: PipelineConfig,
             # t_correct = correction * pose_latest (LM.cpp:862-868)
             T_corrected = res.transform @ pose_latest
             rel = se3.inv_mat(T_corrected) @ ms.graph.poses[closest]
-            g = pg.add_loop_factor(ms.graph, latest, closest, rel, weight)
+
+            # ---- anchor-hinged smear initialization (round-4) ----
+            # GN cannot retro-correct a large loop from the drifted poses:
+            # the cheap correction is ROTATIONAL chain bending (per-link
+            # yaw with the remaining path as lever arm), but the
+            # linearization at the drifted state sits in a local minimum
+            # whose translation-only escape costs ~(|c|^2/n)/sigma_t — the
+            # solve leaves the loop residual at 95% (measured on the s3_0
+            # validation graph: 12 m correction, GN moved 0.5 m; the
+            # reference's stiff Variances, LM.cpp:202, leave its iSAM2 in
+            # the same basin and its correctPoses cosmetic).  Initialize
+            # instead by hinging the chain at the loop anchor: every node
+            # k gets the left correction A exp(f_k * d_A) A^-1 with f_k
+            # the path fraction closest -> latest, which IS the banana
+            # bend (nodes before the anchor keep f=0); GN then polishes
+            # inside the correct basin.  Measured (first-close graph of
+            # the s3_0 validation run): ATE 8.79 -> 2.33 m, loop residual
+            # 10.3 m -> 0.06 m, at the unchanged chain sigma.  A clean
+            # side effect: poses[latest] lands at ~T_corrected, so the
+            # NEXT keyframe's chain_rel no longer records the map2odom
+            # rebase as a 12 m odometry teleport (which permanently
+            # contradicted later loop factors).
+            A = ms.graph.poses[closest]
+            d_A = se3.se3_log(se3.inv_mat(A) @ res.transform @ A)
+            idxs = jnp.arange(cfg.max_keyframes)
+            step = jnp.linalg.norm(ms.graph.chain_rel[:, :3, 3], axis=-1)
+            step = jnp.where((idxs > 0) & (idxs < ms.graph.count), step, 0.0)
+            cum = jnp.cumsum(step)
+            denom = jnp.maximum(cum[latest] - cum[closest], 1e-6)
+            f = jnp.clip((cum - cum[closest]) / denom, 0.0, 1.0)
+            D = jax.vmap(lambda fk: A @ se3.se3_exp(d_A * fk)
+                         @ se3.inv_mat(A))(f.astype(d_A.dtype))
+            smeared = jnp.einsum("nij,njk->nik", D, ms.graph.poses)
+            act = (idxs < ms.graph.count)[:, None, None]
+            g = ms.graph._replace(
+                poses=jnp.where(act, smeared, ms.graph.poses))
+
+            g = pg.add_loop_factor(g, latest, closest, rel, weight)
             # factored O(N) GN (ops/chain_solver): the full relinearised
             # solve runs here, where the reference spends its iSAM2 update
             # x2 (LM.cpp:880-881)

@@ -275,26 +275,37 @@ class SlamPipeline:
             self.process(points_seq[k], mask_seq[k])
         return np.stack(self.poses)
 
-    def run_scanned(self, points_seq: np.ndarray, mask_seq: np.ndarray
-                    ) -> np.ndarray:
+    def run_scanned(self, points_seq: np.ndarray, mask_seq: np.ndarray,
+                    times: Optional[np.ndarray] = None) -> np.ndarray:
         """Batch path: lax.scan over all frames in ONE device call.
 
         Preferred for throughput — the per-frame ``process`` path pays a
         host<->device round-trip per frame, which dominates on tunneled
-        devices."""
+        devices.  ``times``: real scan stamps (bag replay); defaults to the
+        uniform frame clock.  Also the CHUNKED STREAMING path: the CLI
+        feeds fixed-size windows of buffered scans through this (one
+        dispatch per chunk, bounded latency = chunk x scan_period), which
+        is what makes bag replay wall-clock viable on a tunneled device —
+        jit specializes per chunk length, so fixed chunks compile once."""
+        if self._imu_pending:
+            self._flush_imu()
         n = points_seq.shape[0]
-        times = jnp.arange(self._frame, self._frame + n,
-                           dtype=jnp.float32) * self.cfg.scan_period
+        if times is None:
+            times = jnp.arange(self._frame, self._frame + n,
+                               dtype=jnp.float32) * self.cfg.scan_period
         if not hasattr(self, "_scan"):
             cfg = self.cfg
             self._scan = jax.jit(
                 lambda st, p, m, t: scan_sequence(st, p, m, t, cfg),
                 donate_argnums=0)
         self.state, est = self._scan(
-            self.state, jnp.asarray(points_seq), jnp.asarray(mask_seq), times)
+            self.state, jnp.asarray(points_seq), jnp.asarray(mask_seq),
+            jnp.asarray(times, jnp.float32))
         est = np.asarray(est)
         self._frame += n
         self.poses.extend(est)
+        # a whole chunk can land between capacity checks: margin >= chunk
+        self._maybe_compact(margin=max(16, n))
         self._check_overflow()
         return est
 

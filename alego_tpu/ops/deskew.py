@@ -25,11 +25,23 @@ GRAVITY = 9.81
 
 
 class ImuBuffer(NamedTuple):
+    """Fixed-capacity RING of integrated IMU samples (imu_queue_length,
+    utility.h:70 — the reference's ring arrays, LO.cpp:842-845).
+
+    Slot ``count % Q`` is the write position.  The ring matters: a long bag
+    replay feeds thousands of samples through a 200-slot buffer; the round-3
+    code clamped the write index to the LAST slot once full, so from the
+    26th frame of every --use-imu bag replay onward the interpolation bridged
+    [t~5 s .. now] and de-skew applied garbage rotations to every sweep —
+    measured as 5x pre-loop drift (2.45% streamed vs 0.47% with a
+    large-enough buffer, benchmarks/error_budget.json vs validation_run r4).
+    """
+
     times: jnp.ndarray   # [Q]
     rpy: jnp.ndarray     # [Q, 3]
     velo: jnp.ndarray    # [Q, 3] world-frame velocity
     shift: jnp.ndarray   # [Q, 3] world-frame position
-    count: jnp.ndarray   # int32 (ring not needed: monotonically appended)
+    count: jnp.ndarray   # int32 total samples ever appended
 
 
 def init_buffer(capacity: int, dtype=jnp.float32) -> ImuBuffer:
@@ -55,8 +67,9 @@ def integrate_imu(buf: ImuBuffer, t, rpy, lin_acc) -> ImuBuffer:
     ])
     acc_w = rpy_to_rot(rpy) @ acc
 
-    k = jnp.minimum(buf.count, buf.times.shape[0] - 1)
-    prev = jnp.maximum(k - 1, 0)
+    Q = buf.times.shape[0]
+    k = jnp.mod(buf.count, Q)
+    prev = jnp.mod(buf.count - 1, Q)
     dt = t - buf.times[prev]
     ok = (buf.count > 0) & (dt < 1.0) & (dt > 0)
     velo = jnp.where(ok, buf.velo[prev] + acc_w * dt, 0.0)
@@ -95,7 +108,7 @@ def integrate_odom(buf: ImuBuffer, t, rpy, pos, velo) -> ImuBuffer:
     """Append an external-odometry sample (the ``use_odom`` input path,
     LO.cpp:737-795): pose and velocity come from the message instead of
     being integrated from accelerations."""
-    k = jnp.minimum(buf.count, buf.times.shape[0] - 1)
+    k = jnp.mod(buf.count, buf.times.shape[0])
     return ImuBuffer(
         times=buf.times.at[k].set(t),
         rpy=buf.rpy.at[k].set(rpy),
@@ -106,14 +119,32 @@ def integrate_odom(buf: ImuBuffer, t, rpy, pos, velo) -> ImuBuffer:
 
 
 def _interp(buf: ImuBuffer, t):
-    """Linear interpolation of rpy/shift/velo at times t [N]."""
-    hi = jnp.clip(jnp.searchsorted(buf.times, t), 1, buf.times.shape[0] - 1)
+    """Linear interpolation of rpy/shift/velo at times t [N].
+
+    The ring is unrotated into ascending-time order first (one [Q] gather):
+    before the first wrap the oldest slot is 0 and empty slots pad with 1e18
+    so the order is the identity; after a wrap the oldest slot is
+    ``count % Q``."""
+    Q = buf.times.shape[0]
+    start = jnp.where(buf.count > Q, jnp.mod(buf.count, Q), 0)
+    idx = jnp.mod(start + jnp.arange(Q, dtype=jnp.int32), Q)
+    times = buf.times[idx]
+    hi = jnp.clip(jnp.searchsorted(times, t), 1, Q - 1)
     lo = hi - 1
-    t0, t1 = buf.times[lo], buf.times[hi]
+    t0, t1 = times[lo], times[hi]
     a = jnp.clip((t - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)[:, None]
-    rpy = buf.rpy[lo] * (1 - a) + buf.rpy[hi] * a
-    shift = buf.shift[lo] * (1 - a) + buf.shift[hi] * a
-    velo = buf.velo[lo] * (1 - a) + buf.velo[hi] * a
+    rpy_o, shift_o, velo_o = buf.rpy[idx], buf.shift[idx], buf.velo[idx]
+    # SHORTEST-ARC angle blend: orientations from a quaternion source (the
+    # sensor_msgs/Imu path) wrap yaw to (-pi, pi]; a plain linear blend
+    # across the wrap swings ~180 deg through zero and hands de-skew a
+    # flipped frame for every sweep near the crossing (measured: the
+    # validation circuit loses scan-matching lock the moment its heading
+    # crosses pi — 45 m final ATE vs 0.1 m with the arc blend)
+    d = rpy_o[hi] - rpy_o[lo]
+    d = jnp.mod(d + jnp.pi, 2 * jnp.pi) - jnp.pi
+    rpy = rpy_o[lo] + a * d
+    shift = shift_o[lo] * (1 - a) + shift_o[hi] * a
+    velo = velo_o[lo] * (1 - a) + velo_o[hi] * a
     return rpy, shift, velo
 
 

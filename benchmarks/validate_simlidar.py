@@ -138,11 +138,25 @@ def run_variant(variant, n_frames, cfg, use_imu, nodelet, rewrite):
     pipe = SlamPipeline(cfg)
     pipe.load_checkpoint(os.path.join(out_dir, "state.npz"))
     ms = pipe.state.mapping
+
+    # corrected keypose-path ATE: correctPoses (LM.cpp:706-730) rewrites the
+    # keyframe poses retroactively on loop closure; the STREAMED per-frame
+    # trajectory above never benefits (poses are emitted once), so this is
+    # the number comparable to evaluating the reference's final map path
+    n_kf = int(ms.graph.count)
+    kf_xyz = np.asarray(ms.graph.poses)[:n_kf, :3, 3]
+    kf_t = np.asarray(ms.kf_times)[:n_kf]
+    gt_idx = np.clip(np.round(kf_t / cfg.scan_period).astype(int), 0,
+                     len(gt_xyz) - 1)
+    kf_ate = float(ate_rmse(kf_xyz, gt_xyz[gt_idx], align=False))
+
     return dict(
         tag=tag, scene_seed=scene_seed, sim_seed=sim_seed,
         imu_seed=imu_seed, speed=speed, half=half,
         n_frames=int(len(est_xyz)),
         ate_unaligned=round(ate, 3), ate_aligned=round(ate_aligned, 3),
+        kf_ate_corrected=round(kf_ate, 3),
+        kf_drift_pct=round(100.0 * kf_ate / max(path_len, 1e-9), 2),
         drift_pct=round(100.0 * ate / max(path_len, 1e-9), 2),
         path_len=round(path_len, 1),
         keyframes=int(ms.graph.count),
@@ -175,11 +189,17 @@ def main():
 
     ates = sorted(r["ate_unaligned"] for r in runs)
     drifts = sorted(r["drift_pct"] for r in runs)
+    kf_ates = sorted(r["kf_ate_corrected"] for r in runs)
+    kf_drifts = sorted(r["kf_drift_pct"] for r in runs)
     result = dict(
         n_frames=n_frames,
         seeds=runs,
         ate_median=ates[len(ates) // 2],
         ate_worst=ates[-1],
+        kf_ate_median=kf_ates[len(kf_ates) // 2],
+        kf_ate_worst=kf_ates[-1],
+        kf_drift_pct_median=kf_drifts[len(kf_drifts) // 2],
+        kf_drift_pct_worst=kf_drifts[-1],
         drift_pct_median=drifts[len(drifts) // 2],
         drift_pct_worst=drifts[-1],
         loops_total=sum(r["loops"] for r in runs),
