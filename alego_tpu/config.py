@@ -112,6 +112,14 @@ class PipelineConfig:
                                     # as a velocity random walk (the 2.69 m
                                     # seed-2 tail).  A prior ~ the weak-dip
                                     # scale regularises exactly those dims.
+    # ROUND-4 A/B DECISION (benchmarks/error_budget_ab.json, 3 sensor-sim
+    # seeds, no-loop ATE): after the de-skew data-path fixes (IMU ring +
+    # yaw-wrap blend) removed the drift these knobs were built against,
+    # none beats the baseline beyond chaos (baseline 2.14 median / 2.30
+    # worst; floor5 2.01/2.11; prior5 2.02/2.24) and odom_dense_corners
+    # actively hurts on urban scenes (3.71/3.78 — the extra corners are
+    # low-curvature facade points that dilute the sharp set).  All three
+    # therefore SHIP OFF; re-run the A/B before enabling on a new sensor.
 
     # --- scan-to-map (LM.cpp) ---
     map_frame_decimation: int = 2   # every 2nd frame (LM.cpp:244-245)
