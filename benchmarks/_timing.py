@@ -57,9 +57,22 @@ def timed(fn, args, reps: int = 30) -> float:
     leaves, treedef = jax.tree_util.tree_flatten(args)
 
     def perturbed(s):
-        new = [l + (s * 0).astype(l.dtype)
-               if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
-               else l for l in leaves]
+        # pin EVERY array leaf, not just floats: a function whose inputs are
+        # all bool/int (labels, connectivity masks) is otherwise
+        # loop-invariant and XLA hoists it — the measurement reads 0.000
+        z = s * 0          # not provably zero (NaN-propagating)
+        new = []
+        for l in leaves:
+            if not hasattr(l, "dtype"):
+                new.append(l)
+            elif jnp.issubdtype(l.dtype, jnp.floating):
+                new.append(l + z.astype(l.dtype))
+            elif l.dtype == jnp.bool_:
+                new.append(l ^ (z != 0))
+            elif jnp.issubdtype(l.dtype, jnp.integer):
+                new.append(l + z.astype(l.dtype))
+            else:
+                new.append(l)
         return jax.tree_util.tree_unflatten(treedef, new)
 
     def body(i, carry):
