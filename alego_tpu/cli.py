@@ -71,6 +71,13 @@ def main(argv=None):
                          "reference's tf_b2l_ launch param (LO.cpp:591); "
                          "trajectory poses are reported in base-link")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--loop-in-scan", action="store_true",
+                    help="compile the loop-closure attempt into the scan "
+                         "program instead of running it as its own jitted "
+                         "program between chunks (hoisted is the default "
+                         "for --bag/--input: the reference's separate loop "
+                         "thread, LM.cpp:779, and a 2-10x faster cold "
+                         "compile)")
     ap.add_argument("--chunk", type=int, default=16, metavar="C",
                     help="streaming dispatch window for --bag/--input: C "
                          "buffered scans go to the device as ONE lax.scan "
@@ -131,6 +138,11 @@ def main(argv=None):
         if len(vals) != 6:
             ap.error("--tf-b2l needs 6 comma-separated values (x,y,z,r,p,y)")
         cfg = cfg.replace(tf_b2l=vals)
+    if ((args.bag or args.input) and cfg.loop_closure_enabled
+            and not args.loop_in_scan):
+        # hoisted loop mode (see --loop-in-scan): the attempt runs as its
+        # own lazily-compiled program between dispatches
+        cfg = cfg.replace(loop_in_step=False)
 
     pipe = SlamPipeline(cfg)
     if args.checkpoint:

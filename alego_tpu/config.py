@@ -201,6 +201,27 @@ class PipelineConfig:
     # production: without it loop closure demonstrably never fires under
     # realistic revisit drift (benchmarks/validation_run.json r3).
     loop_coarse_align: bool = True
+    loop_in_step: bool = True             # compile the loop-closure attempt
+                                          # INTO slam_step/scan (bench mode:
+                                          # every cost inside one program).
+                                          # False = the host driver runs the
+                                          # attempt as its own jitted program
+                                          # between dispatches (the
+                                          # reference's separate 1 Hz thread,
+                                          # LM.cpp:779); the scan program
+                                          # then compiles in ~96 s instead of
+                                          # 156-1219 s (contended v5e) and
+                                          # the loop program compiles lazily
+                                          # on the first eligible attempt.
+                                          # CLI --bag/--input default to the
+                                          # hoisted mode when chunked.
+    loop_icp_decimate: int = 2            # loop ICP iterates on src[::d]
+                                          # (acceptance scores the full
+                                          # cloud); 1 = off
+    loop_rescue_icp_iters: int = 30       # refine budget after the BEV
+                                          # coarse align (near-basin start;
+                                          # the identity attempt keeps the
+                                          # full icp_iters budget)
     loop_bev_grid: int = 96               # cells; extent = grid * res
     loop_bev_res: float = 1.0             # m / cell
     loop_bev_yaws: int = 36               # 10 deg steps; ICP absorbs the rest

@@ -502,6 +502,12 @@ def loop_closure_step(ms: MappingState, cfg: PipelineConfig,
         # and would break the 0.3 acceptance gate's calibration
         src, src_ok = _keyframe_cloud(ms, latest, pose_latest,
                                       cfg.loop_latest_cap, cfg)
+        # the ICP *iterations* run on a statically decimated source — a
+        # Kabsch update on ~2k correspondences is as well-conditioned as on
+        # 4k and each 1-NN pass halves (46 -> ~23 ms/attempt on v5e); the
+        # acceptance gate below still scores the FULL source
+        d = max(1, cfg.loop_icp_decimate)
+        src_i, src_i_ok = src[::d], src_ok[::d]
 
         # history cloud: +-history_search_num keyframes around the candidate
         # (contiguous window -> dynamic_slice, not gather)
@@ -529,7 +535,7 @@ def loop_closure_step(ms: MappingState, cfg: PipelineConfig,
         tgt, tgt_ok = voxel_downsample(pts, val, cfg.history_leaf,
                                        cfg.loop_hist_cap)
 
-        res = icp_point_to_point(src, src_ok, tgt, tgt_ok, cfg.icp_iters,
+        res = icp_point_to_point(src_i, src_i_ok, tgt, tgt_ok, cfg.icp_iters,
                                  cfg.icp_max_corr_dist, cfg.icp_translation_eps)
         accept, _, _ = _loop_acceptance(res, src, src_ok, tgt, tgt_ok, cfg)
 
@@ -547,8 +553,12 @@ def loop_closure_step(ms: MappingState, cfg: PipelineConfig,
                                ms.graph.poses[closest][:2, 3],
                                grid=cfg.loop_bev_grid, res=cfg.loop_bev_res,
                                n_yaw=cfg.loop_bev_yaws)
+                # the BEV start is already near-basin: a short refine budget
+                # suffices (the identity attempt above keeps the full budget
+                # because it must close from raw drift)
                 res_b = icp_point_to_point(
-                    src, src_ok, tgt, tgt_ok, cfg.icp_iters,
+                    src_i, src_i_ok, tgt, tgt_ok,
+                    min(cfg.icp_iters, cfg.loop_rescue_icp_iters),
                     cfg.icp_max_corr_dist, cfg.icp_translation_eps,
                     T0=ba.transform)
                 better = res_b.converged & (res_b.fitness < res.fitness)
@@ -613,18 +623,33 @@ def loop_closure_step(ms: MappingState, cfg: PipelineConfig,
                          @ se3.inv_mat(A))(f.astype(d_A.dtype))
             smeared = jnp.einsum("nij,njk->nik", D, ms.graph.poses)
             act = (idxs < ms.graph.count)[:, None, None]
-            g = ms.graph._replace(
-                poses=jnp.where(act, smeared, ms.graph.poses))
 
-            g = pg.add_loop_factor(g, latest, closest, rel, weight)
             # factored O(N) GN (ops/chain_solver): the full relinearised
             # solve runs here, where the reference spends its iSAM2 update
-            # x2 (LM.cpp:880-881)
-            if graph_optimizer is None:
-                g = pg.optimize(g, cfg.pose_graph_chain_sigma,
-                                iters=cfg.pose_graph_gn_iters)
-            else:
-                g = graph_optimizer(g)
+            # x2 (LM.cpp:880-881).  TWO initializations, keep the
+            # lower-energy solution: the smear is the right prior when
+            # drift accumulated along the path (the 12 m validation case GN
+            # alone cannot escape), the RAW poses when the discrepancy is
+            # concentrated near the latest node (there the smear corrupts
+            # healthy mid-chain nodes and a few GN iters cannot fully pull
+            # them back).  Energy = the solve's own objective, so the pick
+            # is exactly "whichever basin optimized further".
+            g_raw = pg.add_loop_factor(ms.graph, latest, closest, rel,
+                                       weight)
+            g_sm = g_raw._replace(
+                poses=jnp.where(act, smeared, g_raw.poses))
+
+            def solve(g):
+                if graph_optimizer is None:
+                    return pg.optimize(g, cfg.pose_graph_chain_sigma,
+                                       iters=cfg.pose_graph_gn_iters)
+                return graph_optimizer(g)
+
+            g0, g1 = solve(g_raw), solve(g_sm)
+            e0 = pg.graph_energy(g0, cfg.pose_graph_chain_sigma)
+            e1 = pg.graph_energy(g1, cfg.pose_graph_chain_sigma)
+            g = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(e1 < e0, a, b), g1, g0)
             # correctPoses map2odom rebase (LM.cpp:725-726); keyframe poses
             # moved -> cached local map is stale
             T_m2o = res.transform @ ms.T_map2odom

@@ -88,8 +88,11 @@ def slam_step(state: SlamState, points: jnp.ndarray, mask: jnp.ndarray,
     # loop closure attempt on a TIME cadence — the reference's 1 Hz thread
     # (LM.cpp:779-794): every loop_every_n_frames input frames, independent
     # of keyframe count (a keyframe-parity gate could stall forever if the
-    # count sat on the wrong residue while keyframes stopped arriving)
-    if cfg.loop_closure_enabled:
+    # count sat on the wrong residue while keyframes stopped arriving).
+    # With loop_in_step=False the attempt is NOT lowered here — the host
+    # driver runs it as its own jitted program between dispatches (see
+    # PipelineConfig.loop_in_step), cutting the scan compile ~2-10x.
+    if cfg.loop_closure_enabled and cfg.loop_in_step:
         do_loop = (mapping.graph.count > 1) & (
             state.frame % cfg.loop_every_n_frames == 0)
 
@@ -195,6 +198,33 @@ class SlamPipeline:
                 "raise cfg.max_keyframes", RuntimeWarning)
             self._overflow_warned = True
 
+    def _maybe_loop(self, frames_advanced: int):
+        """Hoisted loop-closure attempt (cfg.loop_in_step=False): run the
+        separately-compiled loop program when the frame counter crossed a
+        ``loop_every_n_frames`` boundary — the reference's own 1 Hz loop
+        THREAD (LM.cpp:779-794) rather than inline-in-step work.  The
+        program is jitted lazily on the first eligible call, so a run that
+        never revisits territory never pays the loop compile."""
+        cfg = self.cfg
+        if not cfg.loop_closure_enabled or cfg.loop_in_step:
+            return
+        lo_f = self._frame - frames_advanced
+        if (self._frame // cfg.loop_every_n_frames
+                == lo_f // cfg.loop_every_n_frames):
+            return
+        # the count>1 guard syncs the host; latch it so the async dispatch
+        # window only pays that sync during the first seconds of a run
+        if not getattr(self, "_loop_live", False):
+            if int(self.state.mapping.graph.count) <= 1:
+                return
+            self._loop_live = True
+        if not hasattr(self, "_loop_step"):
+            self._loop_step = jax.jit(
+                lambda ms: lm.loop_closure_step(ms, cfg)[0],
+                donate_argnums=0)
+        self.state = self.state._replace(
+            mapping=self._loop_step(self.state.mapping))
+
     def _maybe_compact(self, margin: int = 16):
         """Keep-mapping-forever policy (LM.cpp:67-69,699-701 semantics):
         when the graph nears capacity, decimate old keyframes
@@ -212,6 +242,7 @@ class SlamPipeline:
         self._imu_pending = []
         self._frame = 0
         self._overflow_warned = False
+        self._loop_live = False
         self.compactions = 0
 
     def add_imu(self, t: float, rpy, lin_acc):
@@ -259,6 +290,7 @@ class SlamPipeline:
             self.state, jnp.asarray(points), jnp.asarray(mask),
             jnp.asarray(t, jnp.float32))
         self._frame += 1
+        self._maybe_loop(1)
         self.poses.append(pose)
         if self._collect_odom:
             self.odom_poses.append(np.asarray(self.state.T_odom2laser))
@@ -303,6 +335,7 @@ class SlamPipeline:
             jnp.asarray(times, jnp.float32))
         est = np.asarray(est)
         self._frame += n
+        self._maybe_loop(n)
         self.poses.extend(est)
         # a whole chunk can land between capacity checks: margin >= chunk
         self._maybe_compact(margin=max(16, n))

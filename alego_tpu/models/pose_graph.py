@@ -310,6 +310,35 @@ def optimize(g: PoseGraph, chain_sigma, iters: int = 3,
     return jax.lax.fori_loop(0, iters, lambda _, g: gn_iter(g), g)
 
 
+def graph_energy(g: PoseGraph, chain_sigma,
+                 loop_w_scale: float = DEFAULT_LOOP_W_SCALE) -> jnp.ndarray:
+    """Total weighted squared residual of chain + prior + loop factors —
+    the objective `optimize` minimizes; used to pick between candidate
+    solutions (laser_mapping solves each accepted loop from TWO
+    initializations and keeps the lower-energy result)."""
+    dtype = g.poses.dtype
+    N = g.poses.shape[0]
+    idx = jnp.arange(N)
+    active = idx < g.count
+    info = 1.0 / jnp.asarray(chain_sigma, dtype)
+
+    Xi = g.poses[jnp.maximum(idx - 1, 0)]
+    r_c = jax.vmap(lambda a, b, z: se3.se3_log(
+        se3.inv_mat(z) @ se3.inv_mat(a) @ b))(Xi, g.poses, g.chain_rel)
+    w_c = (active & (idx > 0)).astype(dtype)
+    e = jnp.sum(w_c[:, None] * r_c * r_c * info[None, :])
+
+    r_p = se3.se3_log(se3.inv_mat(g.chain_rel[0]) @ g.poses[0])
+    e = e + (g.count > 0) * jnp.sum(r_p * r_p * info)
+
+    r_l = jax.vmap(lambda i, j, z: se3.se3_log(
+        se3.inv_mat(z) @ se3.inv_mat(g.poses[i]) @ g.poses[j]))(
+        g.loop_i, g.loop_j, g.loop_rel)
+    l_idx = jnp.arange(g.loop_w.shape[0])
+    w_l = jnp.where(l_idx < g.loop_count, g.loop_w, 0.0) * loop_w_scale
+    return e + jnp.sum(w_l[:, None] * r_l * r_l)
+
+
 def _gn_parts(g: PoseGraph, sigma: jnp.ndarray, loop_w_scale: float):
     """Assemble one GN iteration's factored system parts.
 

@@ -98,3 +98,30 @@ def test_coarse_align_rescues_yawed_loop():
     # the identity-only attempt must NOT have beaten the gate on this scene
     # (otherwise the test isn't exercising the fallback)
     assert not bool(closed1), f"identity ICP unexpectedly aligned ({fit1})"
+
+
+def test_hoisted_loop_mode_fires_and_corrects():
+    """cfg.loop_in_step=False: the loop attempt runs as the host driver's
+    own jitted program between dispatches (the reference's separate 1 Hz
+    thread, LM.cpp:779) instead of being compiled into the scan — closures
+    must still fire and correct on the closed circuit."""
+    cfg = tiny_config(icp_iters=30).replace(
+        loop_time_gap=3.0, history_search_num=10, history_fitness_score=0.5,
+        loop_in_step=False)
+    n = 60
+    poses = synthetic.loop_trajectory(n, radius=10.0, closed=True)
+    world = synthetic.make_world(seed=103, clear_path=poses[:, :2, 3])
+    pts, mask = synthetic.render_sequence(world, poses, cfg, noise=0.01,
+                                          seed=1)
+    pipe = SlamPipeline(cfg)
+    est = pipe.run(pts, mask)
+    assert int(pipe.state.mapping.graph.loop_count) >= 1, \
+        "hoisted loop mode never closed"
+    ate = metrics.ate_rmse(est[:, :3, 3], poses[:, :3, 3], align=False)
+    assert ate < 1.0, f"hoisted-mode loop-closed ATE {ate}"
+
+    # chunked dispatch path crosses multiple cadence boundaries per call
+    pipe2 = SlamPipeline(cfg)
+    for c0 in range(0, n, 20):
+        pipe2.run_scanned(pts[c0:c0 + 20], mask[c0:c0 + 20])
+    assert int(pipe2.state.mapping.graph.loop_count) >= 1
