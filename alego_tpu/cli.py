@@ -174,10 +174,20 @@ def main(argv=None):
     def _dispatch(C):
         pts = np.stack(ready_pts[:C])
         msk = np.stack(ready_msk[:C])
-        ts = np.asarray([
-            pipe._frame * cfg.scan_period + i * cfg.scan_period
-            if t is None else t
-            for i, t in enumerate(ready_t[:C])], np.float32)
+        # every feed path is stamp-homogeneous today, but a mixed chunk
+        # (some scans stamped, some not) must still produce a MONOTONIC ts
+        # vector — de-skew interpolates against sorted times.  Unstamped
+        # entries therefore extend from the last known stamp by one scan
+        # period instead of falling back to the frame clock (whose origin
+        # can sit before/after real bag stamps).
+        last = _dispatch.last_stamp
+        if last is None:
+            last = pipe._frame * cfg.scan_period - cfg.scan_period
+        ts = np.empty(C, np.float32)
+        for i, t in enumerate(ready_t[:C]):
+            last = last + cfg.scan_period if t is None else float(t)
+            ts[i] = last
+        _dispatch.last_stamp = last
         del ready_pts[:C], ready_msk[:C], ready_t[:C]
         with timer.stage("slam_chunk"):
             pipe.run_scanned(pts, msk, times=ts)

@@ -242,19 +242,29 @@ def mapping_step(ms: MappingState, T_odom2laser: jnp.ndarray,
     # transformAssociateToMap (LM.cpp:333-337)
     T_pred = ms.T_map2odom @ T_odom2laser
 
-    def rebuild(ms):
-        mc, mco, msf, msfo = _build_local_map(ms, cfg, T_pred)
-        return ms._replace(map_corner=mc, map_corner_valid=mco,
-                           map_surf=msf, map_surf_valid=msfo,
-                           map_dirty=jnp.bool_(False))
+    # the rebuild cond carries ONLY the four local-map buffers (~0.4 MiB):
+    # routing the whole MappingState through lax.cond puts the 100+ MiB
+    # keyframe store on the cond's output list, where XLA's copy insertion
+    # is conservative — returning just the written leaves keeps the store
+    # off the branch boundary entirely
+    def rebuild_vals(_):
+        return _build_local_map(ms, cfg, T_pred)
+
+    def keep_vals(_):
+        return (ms.map_corner, ms.map_corner_valid,
+                ms.map_surf, ms.map_surf_valid)
 
     if cfg.loop_closure_enabled:
-        ms = jax.lax.cond(ms.map_dirty, rebuild, lambda m: m, ms)
+        mc, mco, msf, msfo = jax.lax.cond(ms.map_dirty, rebuild_vals,
+                                          keep_vals, None)
     else:
         # radius mode: the surround set depends on the current pose, so the
         # map refreshes every mapping frame (reference re-merges each frame
         # in this branch too, LM.cpp:452-457)
-        ms = rebuild(ms)
+        mc, mco, msf, msfo = rebuild_vals(None)
+    ms = ms._replace(map_corner=mc, map_corner_valid=mco,
+                     map_surf=msf, map_surf_valid=msfo,
+                     map_dirty=jnp.bool_(False))
     map_c, map_c_ok = ms.map_corner, ms.map_corner_valid
     map_s, map_s_ok = ms.map_surf, ms.map_surf_valid
     (c_ds, c_ok, s_ds, s_ok, o_ds, o_ok, st_ds, st_ok) = _downsample_scan(
@@ -276,29 +286,33 @@ def mapping_step(ms: MappingState, T_odom2laser: jnp.ndarray,
     moved = jnp.sum((T_new[:3, 3] - last_t) ** 2) >= cfg.min_keyframe_dist_sq
     is_kf = (ms.graph.count == 0) | moved
 
-    def save_kf(ms):
-        # at capacity the keyframe is rejected (pg.add_keyframe counts it in
-        # graph.overflow; the host driver surfaces the condition) — never
-        # overwrite stored clouds against a frozen graph
-        at_cap = ms.graph.count >= cfg.max_keyframes
-        k = jnp.minimum(ms.graph.count, cfg.max_keyframes - 1)
+    # UNCONDITIONAL masked row-writes — no lax.cond, no full-buffer select.
+    # The round-4 profile showed ~1.3 ms/mapping-frame of copies XLA inserted
+    # for the cond-wrapped save whose true branch selected between the
+    # original and an updated 100+ MiB keyframe store.  Gating the VALUE of
+    # one row (write the existing row back when not keyframing) keeps every
+    # buffer a pure dynamic-update-slice the compiler aliases in place; at
+    # capacity the keyframe is rejected (pg.add_keyframe counts it in
+    # graph.overflow; the host driver surfaces the condition) — never
+    # overwrite stored clouds against a frozen graph.
+    at_cap = ms.graph.count >= cfg.max_keyframes
+    write = is_kf & ~at_cap
+    k = jnp.minimum(ms.graph.count, cfg.max_keyframes - 1)
 
-        def wr(a, v):
-            return jnp.where(at_cap, a, a.at[k].set(v))
+    def wr(a, v):
+        return a.at[k].set(jnp.where(write, v, a[k]))
 
-        return ms._replace(
-            graph=pg.add_keyframe(ms.graph, T_new),
-            kf_times=wr(ms.kf_times, time),
-            kf_corner=wr(ms.kf_corner, c_ds),
-            kf_corner_valid=wr(ms.kf_corner_valid, c_ok),
-            kf_surf=wr(ms.kf_surf, s_ds),
-            kf_surf_valid=wr(ms.kf_surf_valid, s_ok),
-            kf_outlier=wr(ms.kf_outlier, o_ds),
-            kf_outlier_valid=wr(ms.kf_outlier_valid, o_ok),
-            map_dirty=jnp.where(at_cap, ms.map_dirty, jnp.bool_(True)),
-        )
-
-    ms = jax.lax.cond(is_kf, save_kf, lambda m: m, ms)
+    ms = ms._replace(
+        graph=pg.add_keyframe(ms.graph, T_new, do=is_kf),
+        kf_times=wr(ms.kf_times, time),
+        kf_corner=wr(ms.kf_corner, c_ds),
+        kf_corner_valid=wr(ms.kf_corner_valid, c_ok),
+        kf_surf=wr(ms.kf_surf, s_ds),
+        kf_surf_valid=wr(ms.kf_surf_valid, s_ok),
+        kf_outlier=wr(ms.kf_outlier, o_ds),
+        kf_outlier_valid=wr(ms.kf_outlier_valid, o_ok),
+        map_dirty=ms.map_dirty | write,
+    )
 
     # transformUpdate (LM.cpp:626-634)
     T_map2odom = T_new @ se3.inv_mat(T_odom2laser)
@@ -487,12 +501,23 @@ def detect_loop(ms: MappingState, cfg: PipelineConfig):
 
 
 def loop_closure_step(ms: MappingState, cfg: PipelineConfig,
-                      graph_optimizer=None):
+                      graph_optimizer=None, graph_energy_fn=None):
     """performLoopClosure equivalent. Returns (new_state, closed?, fitness).
 
     ``graph_optimizer(graph) -> graph``: optional replacement for the
     single-device pose-graph solve — parallel/sharded_mapping passes the
-    distributed Schur solver here (SURVEY §7 phase 7)."""
+    distributed Schur solver here (SURVEY §7 phase 7).
+
+    ``graph_energy_fn(graph) -> scalar``: the objective used to pick between
+    the dual initializations (see ``close`` below).  Defaults to the
+    single-device objective at ``cfg.pose_graph_chain_sigma`` — which also
+    matches the distributed Schur solver, since parallel/sharded_mapping
+    builds it from the SAME config sigma.  A custom ``graph_optimizer``
+    minimising a differently-weighted objective must pass the matching
+    energy here, or the dual-init pick can prefer the wrong basin."""
+    if graph_energy_fn is None:
+        graph_energy_fn = lambda g: pg.graph_energy(  # noqa: E731
+            g, cfg.pose_graph_chain_sigma)
     found, closest, latest = detect_loop(ms, cfg)
 
     def attempt(ms):
@@ -646,8 +671,8 @@ def loop_closure_step(ms: MappingState, cfg: PipelineConfig,
                 return graph_optimizer(g)
 
             g0, g1 = solve(g_raw), solve(g_sm)
-            e0 = pg.graph_energy(g0, cfg.pose_graph_chain_sigma)
-            e1 = pg.graph_energy(g1, cfg.pose_graph_chain_sigma)
+            e0 = graph_energy_fn(g0)
+            e1 = graph_energy_fn(g1)
             g = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(e1 < e0, a, b), g1, g0)
             # correctPoses map2odom rebase (LM.cpp:725-726); keyframe poses

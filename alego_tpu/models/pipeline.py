@@ -204,7 +204,17 @@ class SlamPipeline:
         ``loop_every_n_frames`` boundary — the reference's own 1 Hz loop
         THREAD (LM.cpp:779-794) rather than inline-in-step work.  The
         program is jitted lazily on the first eligible call, so a run that
-        never revisits territory never pays the loop compile."""
+        never revisits territory never pays the loop compile.
+
+        A chunked dispatch can cross SEVERAL boundaries; exactly ONE
+        attempt runs regardless, which is also the maximum USEFUL number:
+        ``loop_closure_step`` gates on ``latest != last_loop_kf``, so a
+        second attempt against the same graph tip is a guaranteed no-op
+        (sub-chunk attempts would all see the same tip — the frames landed
+        in one device call).  The real effect of chunking is cadence
+        granularity (one attempt per ``chunk * scan_period`` seconds vs the
+        reference's 1 s); measured equal accuracy on the validation circuit
+        at the default --chunk 16 (benchmarks/validation_run.json)."""
         cfg = self.cfg
         if not cfg.loop_closure_enabled or cfg.loop_in_step:
             return

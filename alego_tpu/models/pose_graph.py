@@ -84,23 +84,33 @@ def init_graph(max_kf: int, max_loops: int, dtype=jnp.float32) -> PoseGraph:
     )
 
 
-def add_keyframe(g: PoseGraph, pose: jnp.ndarray) -> PoseGraph:
+def add_keyframe(g: PoseGraph, pose: jnp.ndarray, do=None) -> PoseGraph:
     """Append a pose; measured between = prev^-1 @ pose (LM.cpp:655-658).
 
     At capacity the keyframe is REJECTED and counted in ``overflow`` — the
     stored chain stays consistent (round-1's silent newest-slot overwrite
-    rewrote chain_rel against a stale predecessor)."""
+    rewrote chain_rel against a stale predecessor).
+
+    ``do``: optional traced bool — when False the call is a value-level
+    no-op (the existing row is written back to itself).  Callers gate the
+    save HERE instead of wrapping the call in ``lax.cond``: the gate is a
+    per-ROW select, so every buffer stays a pure dynamic-update-slice XLA
+    can alias in place, where a cond whose true branch selects between the
+    original and an updated full buffer forces a materialised copy."""
     cap = g.poses.shape[0]
+    if do is None:
+        do = jnp.bool_(True)
     at_cap = g.count >= cap
+    write = do & ~at_cap
     k = jnp.minimum(g.count, cap - 1)
     prev = g.poses[jnp.maximum(k - 1, 0)]
     rel = jnp.where(k == 0, pose, se3.inv_mat(prev) @ pose)
     return g._replace(
-        poses=jnp.where(at_cap, g.poses, g.poses.at[k].set(pose)),
-        chain_rel=jnp.where(at_cap, g.chain_rel,
-                            g.chain_rel.at[k].set(rel)),
-        count=jnp.where(at_cap, g.count, g.count + 1),
-        overflow=g.overflow + at_cap.astype(jnp.int32),
+        poses=g.poses.at[k].set(jnp.where(write, pose, g.poses[k])),
+        chain_rel=g.chain_rel.at[k].set(jnp.where(write, rel,
+                                                  g.chain_rel[k])),
+        count=g.count + write.astype(jnp.int32),
+        overflow=g.overflow + (do & at_cap).astype(jnp.int32),
     )
 
 

@@ -98,6 +98,24 @@ class DistributedSlamPipeline:
         self.poses = []
         self._frame = 0
         self.loop_events = 0
+        self.compactions = 0
+
+    def _maybe_compact(self, margin: int = 16):
+        """Keep-mapping-forever policy, mirroring SlamPipeline._maybe_compact:
+        near capacity, decimate old keyframes (lm.compact_keyframes) so new
+        territory keeps mapping instead of silently saturating
+        ``max_keyframes``.  The compaction is graph-topology work with no
+        map-association collectives, so the single-device program is the
+        right tool even on a mesh."""
+        if int(self.state.mapping.graph.count) < self.cfg.max_keyframes - margin:
+            return
+        if not hasattr(self, "_compact"):
+            cfg = self.cfg
+            self._compact = jax.jit(lambda ms: lm.compact_keyframes(ms, cfg),
+                                    donate_argnums=0)
+        self.state = self.state._replace(
+            mapping=self._compact(self.state.mapping))
+        self.compactions += 1
 
     def process(self, points: np.ndarray, mask: np.ndarray,
                 time: Optional[float] = None):
@@ -125,6 +143,8 @@ class DistributedSlamPipeline:
             odo=odo, mapping=ms, frame=self.state.frame + 1,
             T_odom2laser=T_odom)
         self._frame += 1
+        if self._frame % 16 == 0:
+            self._maybe_compact()
         self.poses.append(pose)
         return pose
 

@@ -10,6 +10,18 @@ solves (loops > 0 is asserted on stderr diagnostics).  Round 1's headline
 measured a straight arc that never paid an ICP or graph solve (VERDICT
 missing #5); this one does.
 
+PROGRAM STRUCTURE (round 5): the production HOISTED-LOOP architecture —
+16-frame ``lax.scan`` chunks with the separately-compiled loop-closure
+program dispatched between chunks (exactly the CLI's --chunk streaming
+path, cfg.loop_in_step=False).  Measured on the same chip/day
+(benchmarks/scan_variants.py): lowering the loop attempt INTO the
+per-frame scan body costs 4.5 ms/frame even though only 4 attempts
+actually execute — XLA's conditional handling of the 100+ MiB keyframe
+store poisons every frame — while the hoisted scan runs the identical
+mapping math at 6.33 ms/frame.  All dispatches are async (no host reads
+inside the timed region); one host transfer at the end fences the run, so
+every loop attempt's cost is inside the measurement.
+
 ``vs_baseline`` follows BASELINE.json's own target definition — ">10x
 frames/s vs single-core CPU per chip" — using the committed single-core-CPU
 measurement of this same pipeline on the cheaper NO-loop workload
@@ -75,22 +87,50 @@ def main():
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
 
-    cfg = PipelineConfig()  # full 16 x 4000 geometry
+    from alego_tpu.models import laser_mapping as lm
+
+    # full 16 x 4000 geometry, production hoisted-loop mode (see module
+    # docstring): the loop attempt runs as its own program between chunks
+    cfg = PipelineConfig().replace(loop_in_step=False)
     # 192 frames x 0.2 s = 38.4 s of spin: the closed circuit's tail revisits
     # its start AFTER the 30 s loop_time_gap (LM.cpp:934), so closures
     # actually fire — at 120 frames (24 s) no candidate can ever qualify
     n_frames = int(os.environ.get("BENCH_FRAMES", "192"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "16"))
+    assert n_frames % chunk == 0
+    n_chunks = n_frames // chunk
 
     log("rendering/loading synthetic closed-loop sequence...")
     poses, pts, mask = _rendered_sequence(cfg, n_frames, synthetic)
 
     times = jnp.arange(n_frames, dtype=jnp.float32) * cfg.scan_period
-    state = pipeline.init_state(cfg)
+    state0 = pipeline.init_state(cfg)
 
-    scan = jax.jit(lambda st, p, m, t: pipeline.scan_sequence(st, p, m, t, cfg))
+    # donated chunk scan + donated loop program: state updates in place on
+    # device, nothing syncs the host inside a run
+    scan = jax.jit(lambda st, p, m, t: pipeline.scan_sequence(st, p, m, t,
+                                                              cfg),
+                   donate_argnums=0)
+    loop_step = jax.jit(lambda ms: lm.loop_closure_step(ms, cfg)[0],
+                        donate_argnums=0)
 
     pts_d = jnp.asarray(pts)
     mask_d = jnp.asarray(mask)
+
+    def run_once(state):
+        """One full sequence: chunked scans + one hoisted loop attempt per
+        chunk boundary (chunk >= loop_every_n_frames, so every boundary
+        crosses the cadence; the program itself skips when no candidate is
+        eligible — same gating as SlamPipeline._maybe_loop, minus the
+        host-side count latch, so the timed region stays fence-free)."""
+        ests = []
+        for c in range(n_chunks):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            state, est = scan(state, pts_d[sl], mask_d[sl], times[sl])
+            ests.append(est)
+            if c + 1 < n_chunks:   # nothing can close after the last frame
+                state = state._replace(mapping=loop_step(state.mapping))
+        return state, jnp.concatenate(ests, axis=0)
 
     # NB: under the tunneled axon backend, jax.block_until_ready does NOT
     # wait for device completion; the only reliable fence is a host transfer.
@@ -98,19 +138,25 @@ def main():
     # which (in-order execution) waits for all queued work.
     log("compiling full pipeline (first call)...")
     t0 = time.time()
-    st1, est = scan(state, pts_d, mask_d, times)
+    st2, est = run_once(state0)
     _ = np.asarray(est[-1])
     compile_s = time.time() - t0
     log(f"compile+first run: {compile_s:.1f}s")
 
     log("timing steady state...")
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    t0 = time.time()
+    per_rep = []
     for _ in range(reps):
-        st2, est = scan(state, pts_d, mask_d, times)
-    _ = np.asarray(est[-1])           # hard fence for every queued rep
-    dt = (time.time() - t0) / reps
+        state = pipeline.init_state(cfg)
+        t0 = time.time()
+        st2, est = run_once(state)
+        _ = np.asarray(est[-1])       # hard fence per rep
+        per_rep.append(time.time() - t0)
+    dt = float(np.median(per_rep))    # median rep: tunnel hiccups show up as
+    # outlier reps (measured spread up to 20% on contended days) and the
+    # median is the honest steady-state figure
     fps = n_frames / dt
+    log(f"per-rep s: {[round(r, 3) for r in per_rep]}")
     log(f"{dt * 1e3 / n_frames:.2f} ms/frame -> {fps:.1f} frames/s")
 
     est_np = np.asarray(est)
@@ -149,8 +195,9 @@ def main():
         for seed in (1, 2, 3, 4):
             _, p_s, m_s = _rendered_sequence(cfg, n_frames, synthetic,
                                              seed=seed)
-            st_s, est_s = scan(state, jnp.asarray(p_s), jnp.asarray(m_s),
-                               times)
+            pts_d = jnp.asarray(p_s)
+            mask_d = jnp.asarray(m_s)
+            st_s, est_s = run_once(pipeline.init_state(cfg))
             e = np.asarray(est_s)
             ates.append(float(metrics.ate_rmse(e[:, :3, 3], poses[:, :3, 3],
                                                align=False)))
