@@ -47,8 +47,18 @@ def init_state(cfg: PipelineConfig, dtype=jnp.float32) -> SlamState:
 
 
 def slam_step(state: SlamState, points: jnp.ndarray, mask: jnp.ndarray,
-              time: jnp.ndarray, cfg: PipelineConfig):
-    """Process one raw scan. Returns (state, T_map2laser)."""
+              time: jnp.ndarray, cfg: PipelineConfig, do_map_static=None):
+    """Process one raw scan. Returns (state, T_map2laser).
+
+    ``do_map_static``: trace-time override of the every-2nd-frame mapping
+    gate (LM.cpp:244-245).  ``None`` keeps the runtime ``lax.cond`` on
+    ``state.frame`` — correct for any starting phase, but the cond routes
+    the 100+ MiB keyframe store through a branch boundary, which measured
+    1.45 ms/frame of copy tax inside ``lax.scan`` even when the branch
+    never runs (benchmarks/scan_variants.py nomap vs frontscan).
+    ``True``/``False`` burn the decision into the program — used by the
+    decimation-aligned group scan below, where the phase is known
+    statically."""
     # stage 1 + features
     seg = image_projection(points, mask, cfg)
     # static branch: de-skew the segmented cloud (LO.cpp:184; the odom-aided
@@ -72,8 +82,6 @@ def slam_step(state: SlamState, points: jnp.ndarray, mask: jnp.ndarray,
     odo, T_odom2laser = lo.odometry_step(state.odo, fc, cfg)
 
     # stage 3: mapping on every 2nd frame (LM.cpp:244-245)
-    do_map = (state.frame % cfg.map_frame_decimation) == 0
-
     def run_mapping(ms):
         ms, _ = lm.mapping_step(
             ms, T_odom2laser,
@@ -83,7 +91,14 @@ def slam_step(state: SlamState, points: jnp.ndarray, mask: jnp.ndarray,
             time, cfg)
         return ms
 
-    mapping = jax.lax.cond(do_map, run_mapping, lambda m: m, state.mapping)
+    if do_map_static is None:
+        do_map = (state.frame % cfg.map_frame_decimation) == 0
+        mapping = jax.lax.cond(do_map, run_mapping, lambda m: m,
+                               state.mapping)
+    elif do_map_static:
+        mapping = run_mapping(state.mapping)
+    else:
+        mapping = state.mapping
 
     # loop closure attempt on a TIME cadence — the reference's 1 Hz thread
     # (LM.cpp:779-794): every loop_every_n_frames input frames, independent
@@ -125,14 +140,43 @@ def _tf_l2b(cfg: PipelineConfig, dtype) -> jnp.ndarray:
     return se3.inv_mat(T)
 
 
-def scan_sequence(state: SlamState, points_seq, mask_seq, times, cfg):
-    """lax.scan the full pipeline over a batch of frames (bench path)."""
+def scan_sequence(state: SlamState, points_seq, mask_seq, times, cfg,
+                  aligned_groups: bool = False):
+    """lax.scan the full pipeline over a batch of frames (bench path).
+
+    ``aligned_groups=True`` compiles the DECIMATION-ALIGNED program: the
+    scan runs over groups of ``map_frame_decimation`` frames with the
+    mapping gate burned in statically (slot 0 maps, the rest don't), so no
+    ``lax.cond`` ever carries the keyframe store — measured 1.45 ms/frame
+    cheaper at the full geometry (benchmarks/scan_variants.py).  ONLY valid
+    when ``state.frame % map_frame_decimation == 0`` and the frame count
+    divides evenly; callers with host-side frame knowledge (SlamPipeline.
+    run_scanned, bench.py — frame 0 start, fixed chunks) assert that and
+    pick this program, everything else keeps the phase-safe cond."""
+    d = cfg.map_frame_decimation
+    n = points_seq.shape[0]
+    if not aligned_groups or d <= 1 or n % d != 0:
+        def body(st, inp):
+            p, m, t = inp
+            st, pose = slam_step(st, p, m, t, cfg)
+            return st, pose
+
+        return jax.lax.scan(body, state, (points_seq, mask_seq, times))
+
     def body(st, inp):
         p, m, t = inp
-        st, pose = slam_step(st, p, m, t, cfg)
-        return st, pose
+        poses = []
+        for i in range(d):
+            st, pose = slam_step(st, p[i], m[i], t[i], cfg,
+                                 do_map_static=(i == 0))
+            poses.append(pose)
+        return st, jnp.stack(poses)
 
-    return jax.lax.scan(body, state, (points_seq, mask_seq, times))
+    pts_g = points_seq.reshape((n // d, d) + points_seq.shape[1:])
+    msk_g = mask_seq.reshape((n // d, d) + mask_seq.shape[1:])
+    t_g = times.reshape(n // d, d)
+    st, poses = jax.lax.scan(body, state, (pts_g, msk_g, t_g))
+    return st, poses.reshape((n,) + poses.shape[2:])
 
 
 class SlamPipeline:
@@ -335,12 +379,19 @@ class SlamPipeline:
         if times is None:
             times = jnp.arange(self._frame, self._frame + n,
                                dtype=jnp.float32) * self.cfg.scan_period
-        if not hasattr(self, "_scan"):
+        # decimation-aligned program when the host-known frame phase allows
+        # (frame 0 start + chunks that are decimation multiples keep this
+        # true for every dispatch) — 1.45 ms/frame cheaper, same math
+        d = self.cfg.map_frame_decimation
+        aligned = (self._frame % d == 0) and (n % d == 0)
+        attr = "_scan_aligned" if aligned else "_scan"
+        if not hasattr(self, attr):
             cfg = self.cfg
-            self._scan = jax.jit(
-                lambda st, p, m, t: scan_sequence(st, p, m, t, cfg),
-                donate_argnums=0)
-        self.state, est = self._scan(
+            setattr(self, attr, jax.jit(
+                lambda st, p, m, t: scan_sequence(st, p, m, t, cfg,
+                                                  aligned_groups=aligned),
+                donate_argnums=0))
+        self.state, est = getattr(self, attr)(
             self.state, jnp.asarray(points_seq), jnp.asarray(mask_seq),
             jnp.asarray(times, jnp.float32))
         est = np.asarray(est)

@@ -108,9 +108,12 @@ def main():
 
     # donated chunk scan + donated loop program: state updates in place on
     # device, nothing syncs the host inside a run
-    scan = jax.jit(lambda st, p, m, t: pipeline.scan_sequence(st, p, m, t,
-                                                              cfg),
-                   donate_argnums=0)
+    # aligned_groups: frame 0 start + chunk a multiple of the mapping
+    # decimation => the static-gate group program is valid (see
+    # pipeline.scan_sequence)
+    assert chunk % cfg.map_frame_decimation == 0
+    scan = jax.jit(lambda st, p, m, t: pipeline.scan_sequence(
+        st, p, m, t, cfg, aligned_groups=True), donate_argnums=0)
     loop_step = jax.jit(lambda ms: lm.loop_closure_step(ms, cfg)[0],
                         donate_argnums=0)
 
@@ -128,7 +131,12 @@ def main():
             sl = slice(c * chunk, (c + 1) * chunk)
             state, est = scan(state, pts_d[sl], mask_d[sl], times[sl])
             ests.append(est)
-            if c + 1 < n_chunks:   # nothing can close after the last frame
+            # dispatch the loop program only once a candidate could pass the
+            # >loop_time_gap age gate (host arithmetic on the known frame
+            # clock — the device-side detect_loop applies the same gate);
+            # nothing can close after the last frame either
+            t_now = (c + 1) * chunk * cfg.scan_period
+            if c + 1 < n_chunks and t_now > cfg.loop_time_gap:
                 state = state._replace(mapping=loop_step(state.mapping))
         return state, jnp.concatenate(ests, axis=0)
 
