@@ -189,6 +189,11 @@ def main(argv=None):
             ts[i] = last
         _dispatch.last_stamp = last
         del ready_pts[:C], ready_msk[:C], ready_t[:C]
+        _run_chunk(pts, msk, ts)
+
+    _dispatch.last_stamp = None
+
+    def _run_chunk(pts, msk, ts):
         with timer.stage("slam_chunk"):
             pipe.run_scanned(pts, msk, times=ts)
         maybe_dump_surround()

@@ -152,7 +152,7 @@ def main():
     log(f"compile+first run: {compile_s:.1f}s")
 
     log("timing steady state...")
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     per_rep = []
     for _ in range(reps):
         state = pipeline.init_state(cfg)
